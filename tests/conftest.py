@@ -10,6 +10,11 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# Force CPU: the surrounding environment pins JAX_PLATFORMS to the (remote) TPU
-# platform, which would make every tiny test op compile over the tunnel.
+# Force CPU. The surrounding environment registers a remote-TPU PJRT plugin at
+# interpreter startup (sitecustomize) and force-updates jax_platforms
+# programmatically, so the env var alone is not enough — override the config
+# knob itself before any backend is initialized.
 os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
