@@ -137,16 +137,15 @@ def build(xp):
         return quat_normalize(w0 * q0 + w1 * q1)
 
     def angular_distance_deg(qa, qb):
-        """Angle (degrees) between two rotations, via the trace formula.
-
-        Matches reference AngularDistance (types.h:141-150): computed from the
-        relative rotation matrix trace, clamped into [-1, 1] before acos.
-        """
+        """Angle (degrees) between two rotations (reference AngularDistance,
+        types.h:141-150)."""
         rel = quat_mul(quat_conj(quat_normalize(qa)), quat_normalize(qb))
-        w = xp.clip(xp.abs(rel[..., 0]), 0.0, 1.0)
-        # trace formula: cos(angle) = (trace-1)/2 == 2w^2-1 for unit quats
-        cos_angle = xp.clip(2.0 * w * w - 1.0, -1.0, 1.0)
-        return xp.arccos(cos_angle) * (180.0 / 3.14159265358979323846)
+        # same quantity as acos((trace-1)/2) = acos(2w^2-1), but the atan2 form
+        # stays accurate for tiny angles in float32 (acos saturates ~0.04 deg),
+        # which matters for the ICP convergence thresholds (1e-4 deg).
+        s = xp.sqrt(xp.sum(rel[..., 1:4] ** 2, axis=-1))
+        c = xp.abs(rel[..., 0])
+        return 2.0 * xp.arctan2(s, c) * (180.0 / 3.14159265358979323846)
 
     # ------------------------------------------------------------------ SE3 —
     # an SE3 is the pair (quat [...,4], tr [...,3]); kept as separate arrays

@@ -1,0 +1,176 @@
+"""Host-facing registration API — the counterpart of CT_ICP_Registration.
+
+``CTICPRegistration.register`` (reference include/ct_icp/ct_icp.h:174-223,
+``Register`` -> DoRegisterCeres/GaussNewton) runs the jitted solver of
+icp/solver.py on a device-resident voxel map. One compiled program serves
+every robust-escalation level: escalation only changes SolverDynamics scalars.
+
+Timestamps are converted to alpha-parameters in [0, 1] on the host in float64
+(reference GetAlphaTimestamp semantics, types.h:192-219) so that device code
+never touches raw (possibly huge) timestamps in float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ct_icp_tpu.config.options import (CTICPOptions, MultiResolutionVoxelMapOptions,
+                                       PoseParametrization, Solver, LeastSquares)
+from ct_icp_tpu.core import se3_np as s3n
+from ct_icp_tpu.core.pose import Pose, TrajectoryFrame
+from ct_icp_tpu.icp import solver as slv
+from ct_icp_tpu.mapping import voxel_map as vm
+
+
+@dataclasses.dataclass
+class ICPSummary:
+    """Mirror of the reference ICPSummary (ct_icp.h:155-169)."""
+
+    success: bool = False
+    num_residuals_used: int = 0
+    num_iters: int = 0
+    error_log: str = ""
+    duration_total: float = 0.0
+    duration_init: float = 0.0
+    avg_duration_iter: float = 0.0
+    avg_duration_neighborhood: float = 0.0
+    avg_duration_solve: float = 0.0
+
+
+def make_prior(previous_frame: Optional[TrajectoryFrame], motion_options,
+               origin: np.ndarray):
+    """Device prior pytree from the previous trajectory frame
+    (reference PreviousFrameMotionModel, motion_model.cpp:12-61)."""
+    if previous_frame is None or motion_options is None:
+        z3 = jnp.zeros(3, dtype=jnp.float32)
+        return {
+            "prev_end_quat": jnp.asarray([1, 0, 0, 0], dtype=jnp.float32),
+            "prev_end_tr": z3, "prev_velocity": z3,
+            "beta_location_consistency": jnp.float32(0),
+            "beta_orientation_consistency": jnp.float32(0),
+            "beta_constant_velocity": jnp.float32(0),
+            "beta_small_velocity": jnp.float32(0),
+        }
+    pv = previous_frame.end_pose.tr - previous_frame.begin_pose.tr
+    return {
+        "prev_end_quat": jnp.asarray(
+            s3n.quat_normalize(previous_frame.end_pose.quat), dtype=jnp.float32),
+        "prev_end_tr": jnp.asarray(
+            previous_frame.end_pose.tr - origin, dtype=jnp.float32),
+        "prev_velocity": jnp.asarray(pv, dtype=jnp.float32),
+        "beta_location_consistency": jnp.float32(
+            motion_options.beta_location_consistency),
+        "beta_orientation_consistency": jnp.float32(
+            motion_options.beta_orientation_consistency),
+        "beta_constant_velocity": jnp.float32(
+            motion_options.beta_constant_velocity),
+        "beta_small_velocity": jnp.float32(motion_options.beta_small_velocity),
+    }
+
+
+class CTICPRegistration:
+    """Registers a keypoint batch against the map, optimizing the 12-DoF
+    continuous-time frame (begin_pose, end_pose)."""
+
+    def __init__(self, options: CTICPOptions,
+                 map_options: MultiResolutionVoxelMapOptions,
+                 num_keypoints: int,
+                 search_radius: Optional[float] = None):
+        self.options = options
+        self.map_options = map_options
+        radius = (search_radius if search_radius is not None
+                  else map_options.default_radius)
+        level_idx, nv = map_options.search_params(radius)
+        self.level_index = level_idx
+        self.search_radius = radius
+        self.voxel_resolution = map_options.resolutions[level_idx].resolution
+        loss = options.loss_function
+        if options.solver == Solver.GN:
+            loss = LeastSquares.STANDARD  # reference GN path has no robust loss
+        self.statics = slv.SolverStatics(
+            num_keypoints=num_keypoints,
+            max_neighbors=options.max_number_neighbors,
+            level_index=level_idx,
+            voxel_neighborhood=nv,
+            distance=options.distance,
+            loss=loss,
+            solver=options.solver,
+            parametrization=options.parametrization,
+            num_closest_neighbors=options.num_closest_neighbors,
+            use_normal_filter=False,
+        )
+        self._fn = slv.jitted_register_fn(self.statics)
+
+    def dynamics(self, options: Optional[CTICPOptions] = None) -> slv.SolverDynamics:
+        return slv.make_dynamics(options or self.options, self.search_radius,
+                                 self.voxel_resolution)
+
+    def register(self, map_state: vm.MapState,
+                 raw_kpts: np.ndarray, timestamps: np.ndarray,
+                 frame: TrajectoryFrame,
+                 prior: Optional[dict] = None,
+                 origin: Optional[np.ndarray] = None,
+                 options: Optional[CTICPOptions] = None) -> ICPSummary:
+        """Numpy-in / numpy-out registration (updates ``frame`` in place).
+
+        ``origin`` is the world location of the device map frame (float64);
+        poses are shifted into the map frame for the f32 solve and shifted
+        back on return.
+        """
+        import time
+        t0 = time.time()
+        origin = np.zeros(3) if origin is None else np.asarray(origin)
+        opts = options or self.options
+        k = self.statics.num_keypoints
+        n = raw_kpts.shape[0]
+        if n > k:
+            raise ValueError(f"{n} keypoints > static capacity {k}")
+        raw = np.zeros((k, 3), np.float32)
+        raw[:n] = raw_kpts
+        valid = np.zeros((k,), bool)
+        valid[:n] = True
+
+        # host-side alpha-timestamps (float64), reference types.h:192-219
+        alphas64 = s3n.alpha_timestamp(
+            np.asarray(timestamps, np.float64),
+            frame.begin_pose.timestamp, frame.end_pose.timestamp)
+        if opts.parametrization == PoseParametrization.SIMPLE:
+            alphas64 = np.ones_like(alphas64)
+        alphas = np.ones((k,), np.float32)
+        alphas[:n] = alphas64
+
+        qb = jnp.asarray(s3n.quat_normalize(frame.begin_pose.quat), jnp.float32)
+        tb = jnp.asarray(frame.begin_pose.tr - origin, jnp.float32)
+        qe = jnp.asarray(s3n.quat_normalize(frame.end_pose.quat), jnp.float32)
+        te = jnp.asarray(frame.end_pose.tr - origin, jnp.float32)
+
+        if prior is None:
+            prior = make_prior(None, None, origin)
+
+        result = self._fn(
+            map_state.levels[self.level_index],
+            jnp.asarray(raw), jnp.asarray(alphas), jnp.asarray(valid),
+            qb, tb, qe, te, prior, self.dynamics(opts))
+
+        frame.begin_pose.quat = np.asarray(result.quat_begin, np.float64)
+        frame.begin_pose.tr = np.asarray(result.tr_begin, np.float64) + origin
+        frame.end_pose.quat = np.asarray(result.quat_end, np.float64)
+        frame.end_pose.tr = np.asarray(result.tr_end, np.float64) + origin
+        frame.begin_pose.normalize_()
+        frame.end_pose.normalize_()
+
+        summary = ICPSummary()
+        summary.num_residuals_used = int(result.num_residuals)
+        summary.num_iters = int(result.num_iters)
+        summary.success = bool(result.valid_problem)
+        if not summary.success:
+            summary.error_log = (
+                f"[CT_ICP] Error : not enough keypoints selected in ct-icp ! "
+                f"number_of_residuals : {summary.num_residuals_used}")
+        summary.duration_total = (time.time() - t0) * 1000.0
+        return summary

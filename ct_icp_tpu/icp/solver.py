@@ -1,0 +1,323 @@
+"""The batched continuous-time ICP solver — one jitted fixed-shape program.
+
+This replaces all three reference solver back-ends (DoRegisterCeres /
+DoRegisterGaussNewton / DoRegisterRobust, reference src/ct_icp/ct_icp.cpp:460-1370)
+with a single XLA program:
+
+    outer while_loop (<= num_iters_icp, early-exit on pose deltas):
+      1. transform keypoints by slerp/lerp-interpolated poses at each point's
+         alpha-timestamp (ct_icp.cpp:516-531)
+      2. fixed-radius neighbor gather in the voxel map level chosen by the
+         search radius (map.h:449-514) — batched over all keypoints (the
+         reference's OpenMP axis, ct_icp.cpp:561)
+      3. batched covariance + closed-form eigen -> normals, a2D, planarity
+         (neighborhood.h:226-316)
+      4. geometric weights (ct_icp.cpp:577-587)
+      5. inner LM loop (<= ls_max_num_iters, ceres::Solve equivalent,
+         ct_icp.cpp:632): residuals + priors of a 12-DoF perturbation,
+         autodiff Jacobian through the slerp (exactly what Ceres autodiff
+         does), IRLS robust weights, Jacobi-preconditioned damped normal
+         equations, accept/reject with adaptive damping
+      6. convergence test on rot/trans deltas in deg/m (ct_icp.cpp:668-672)
+
+All iteration counts and thresholds are *dynamic* scalars: the robust
+escalation regimen (odometry.cpp:996-1018) re-invokes the same compiled
+program with different numbers — zero recompiles. Only shapes and enum
+branches (distance/loss/solver/parametrization) are static.
+
+Dtype discipline: everything float32; keypoints and map live in a local map
+frame kept near the origin by the host (see odometry/odometry.py), covariances
+are accumulated about each query point, and the 12x12 solve is Jacobi
+preconditioned — the places where f32 would otherwise lose the game.
+"""
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ct_icp_tpu.config.options import (CTICPOptions, IcpDistance, LeastSquares,
+                                       PoseParametrization, Solver)
+from ct_icp_tpu.core import se3 as s3
+from ct_icp_tpu.icp import residuals as res
+from ct_icp_tpu.mapping import voxel_map as vm
+from ct_icp_tpu.ops.neighborhood import compute_description
+
+MAX_OUTER_ITERS = 64
+MAX_INNER_ITERS = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverStatics:
+    """Static (compile-time) part of the registration configuration."""
+
+    num_keypoints: int            # K (padded)
+    max_neighbors: int            # k of the top-k gather
+    level_index: int              # which map resolution level is searched
+    voxel_neighborhood: int       # nv: (2nv+1)^3 voxels scanned
+    distance: IcpDistance = IcpDistance.POINT_TO_PLANE
+    loss: LeastSquares = LeastSquares.CAUCHY
+    solver: Solver = Solver.CERES
+    parametrization: PoseParametrization = PoseParametrization.CONTINUOUS_TIME
+    num_closest_neighbors: int = 1
+    use_normal_filter: bool = False
+    beta_location_consistency_on: bool = True
+    beta_orientation_consistency_on: bool = False
+    beta_constant_velocity_on: bool = True
+    beta_small_velocity_on: bool = False
+
+
+class SolverDynamics(NamedTuple):
+    """Dynamic scalars — change per robust-escalation level without recompile."""
+
+    num_iters_icp: jnp.ndarray
+    ls_max_num_iters: jnp.ndarray
+    ls_sigma: jnp.ndarray
+    ls_tolerant_min_threshold: jnp.ndarray
+    max_dist_to_plane: jnp.ndarray
+    threshold_orientation_norm: jnp.ndarray  # degrees
+    threshold_translation_norm: jnp.ndarray  # meters
+    search_radius: jnp.ndarray
+    voxel_resolution: jnp.ndarray
+    min_number_neighbors: jnp.ndarray
+    power_planarity: jnp.ndarray
+    weight_alpha: jnp.ndarray
+    weight_neighborhood: jnp.ndarray
+    threshold_voxel_occupancy: jnp.ndarray
+    max_num_residuals: jnp.ndarray           # <=0 disables the cap
+
+
+def make_dynamics(opts: CTICPOptions, search_radius, voxel_resolution
+                  ) -> SolverDynamics:
+    f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+    i = lambda v: jnp.asarray(v, dtype=jnp.int32)
+    return SolverDynamics(
+        num_iters_icp=i(opts.num_iters_icp),
+        ls_max_num_iters=i(opts.ls_max_num_iters),
+        ls_sigma=f(opts.ls_sigma),
+        ls_tolerant_min_threshold=f(opts.ls_tolerant_min_threshold),
+        max_dist_to_plane=f(opts.max_dist_to_plane_ct_icp),
+        threshold_orientation_norm=f(opts.threshold_orientation_norm),
+        threshold_translation_norm=f(opts.threshold_translation_norm),
+        search_radius=f(search_radius),
+        voxel_resolution=f(voxel_resolution),
+        min_number_neighbors=i(opts.min_number_neighbors),
+        power_planarity=f(opts.power_planarity),
+        weight_alpha=f(opts.weight_alpha),
+        weight_neighborhood=f(opts.weight_neighborhood),
+        threshold_voxel_occupancy=i(opts.threshold_voxel_occupancy),
+        max_num_residuals=i(opts.max_num_residuals),
+    )
+
+
+class RegistrationResult(NamedTuple):
+    quat_begin: jnp.ndarray
+    tr_begin: jnp.ndarray
+    quat_end: jnp.ndarray
+    tr_end: jnp.ndarray
+    num_residuals: jnp.ndarray     # residuals used in the last iteration
+    num_iters: jnp.ndarray
+    converged: jnp.ndarray
+    final_cost: jnp.ndarray
+    valid_problem: jnp.ndarray     # enough residuals were found
+
+
+def _freeze_begin_cols(statics: SolverStatics):
+    return statics.parametrization == PoseParametrization.SIMPLE
+
+
+def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
+                   raw, alphas, valid, qb, tb, qe, te, sensor_location):
+    """Association + descriptors for the current pose estimate.
+
+    Returns (anchors, normals, lines, cov_inv, geom_w, ok, closest_dist).
+    """
+    world = res.interp_world_points(qb, tb, qe, te, raw, alphas)
+    neigh, nmask, nd = vm.radius_search(
+        level, world, valid, dyn.search_radius, dyn.voxel_resolution,
+        nv=statics.voxel_neighborhood, k=statics.max_neighbors,
+        sensor_location=sensor_location,
+        use_normal_filter=statics.use_normal_filter,
+        threshold_voxel_occupancy=dyn.threshold_voxel_occupancy)
+    ncount = jnp.sum(nmask, axis=-1)
+    ok = valid & (ncount >= dyn.min_number_neighbors)
+
+    desc = compute_description(neigh, nmask, world)
+    closest = neigh[:, 0, :]
+    closest_dist = jnp.where(nmask[:, 0], nd[:, 0], 0.0)
+    geom_w = res.ceres_path_weights(
+        desc.a2D, closest_dist, dyn.power_planarity, dyn.weight_alpha,
+        dyn.weight_neighborhood, dyn.max_dist_to_plane,
+        jnp.maximum(dyn.min_number_neighbors.astype(jnp.float32), 1.0))
+
+    if statics.solver == Solver.GN:
+        # reference GN path (ct_icp.cpp:777-806): weight = a2D^2, residual
+        # gated by |dist_to_plane| < max_dist_to_plane
+        geom_w = desc.a2D * desc.a2D
+        dist_to_plane = jnp.abs(jnp.sum((world - closest) * desc.normal, axis=-1))
+        ok = ok & (dist_to_plane < dyn.max_dist_to_plane)
+
+    cov_inv = None
+    if statics.distance == IcpDistance.POINT_TO_DISTRIBUTION:
+        eps = 0.05  # FunctorPointToDistribution epsilon (cost_functions.h:180)
+        cov_inv = jnp.linalg.inv(
+            desc.covariance + eps * jnp.eye(3, dtype=raw.dtype))
+
+    # cap the number of residuals (reference max_num_residuals,
+    # ICPOptimizationBuilder ct_icp.cpp:148-456): keep the first N valid.
+    capped = jnp.cumsum(ok.astype(jnp.int32)) <= jnp.where(
+        dyn.max_num_residuals > 0, dyn.max_num_residuals, jnp.int32(1 << 30))
+    ok = ok & capped
+
+    anchors = closest
+    return anchors, desc.normal, desc.line, cov_inv, geom_w, ok
+
+
+def _residual_vector(statics, dyn, delta, raw, alphas, anchors, normals, lines,
+                     cov_inv, geom_w, ok, qb, tb, qe, te, prior, n_res):
+    """Full residual vector [(K*R + 10)] of a 12-DoF perturbation."""
+    qb2, tb2, qe2, te2 = res.apply_delta(delta, qb, tb, qe, te)
+    world = res.interp_world_points(qb2, tb2, qe2, te2, raw, alphas)
+    geo = res.geometric_residuals(
+        statics.distance, world, anchors, normals, lines, cov_inv, geom_w)
+    geo = jnp.where(ok[:, None], geo, 0.0).reshape(-1)
+    pri = res.motion_prior_residuals(qb2, tb2, qe2, te2, prior, n_res)
+    return jnp.concatenate([geo, pri])
+
+
+def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
+                   geom_w, ok, qb, tb, qe, te, prior):
+    """ceres::Solve replacement: <= ls_max_num_iters damped-GN steps with
+    IRLS robust weights and accept/reject damping adaptation."""
+    k = statics.num_keypoints
+    n_res = jnp.sum(ok.astype(jnp.int32))
+    nrows = k * (3 if statics.distance == IcpDistance.POINT_TO_POINT else 1)
+
+    def point_rows(vec):
+        return vec[:nrows], vec[nrows:]
+
+    def total_cost(delta, q0, t0, q1, t1):
+        r = _residual_vector(statics, dyn, delta, raw, alphas, anchors,
+                             normals, lines, cov_inv, geom_w, ok,
+                             q0, t0, q1, t1, prior, n_res)
+        pr, prior_r = point_rows(r)
+        c_pts = jnp.sum(res.robust_cost(statics.loss, pr * pr, dyn.ls_sigma,
+                                        dyn.ls_tolerant_min_threshold))
+        return c_pts + jnp.sum(prior_r * prior_r)
+
+    zero = jnp.zeros((12,), dtype=raw.dtype)
+
+    def body(it, carry):
+        q0, t0, q1, t1, lam, _ = carry
+
+        def rfun(d):
+            return _residual_vector(statics, dyn, d, raw, alphas, anchors,
+                                    normals, lines, cov_inv, geom_w, ok,
+                                    q0, t0, q1, t1, prior, n_res)
+
+        r0 = rfun(zero)
+        jac = jax.jacfwd(rfun)(zero)              # [(rows), 12]
+        pr, _ = point_rows(r0)
+        w_pts = res.irls_weight(statics.loss, pr * pr, dyn.ls_sigma,
+                                dyn.ls_tolerant_min_threshold)
+        w = jnp.concatenate([w_pts, jnp.ones((10,), dtype=raw.dtype)])
+
+        if _freeze_begin_cols(statics):
+            jac = jac.at[:, 0:6].set(0.0)
+
+        jtj = (jac * w[:, None]).T @ jac           # [12, 12] (MXU)
+        jtr = (jac * w[:, None]).T @ r0
+        # Jacobi preconditioning keeps the f32 solve well-conditioned
+        d = jnp.sqrt(jnp.diagonal(jtj))
+        d = jnp.where(d > 1e-12, d, 1.0)
+        a = jtj / (d[:, None] * d[None, :])
+        a = a + lam * jnp.diag(jnp.diagonal(a)) \
+            + 1e-7 * jnp.eye(12, dtype=raw.dtype)
+        b = -jtr / d
+        delta = jnp.linalg.solve(a, b) / d
+
+        cost0 = total_cost(zero, q0, t0, q1, t1)
+        cost1 = total_cost(delta, q0, t0, q1, t1)
+        accept = cost1 < cost0
+        best = jnp.where(accept, cost1, cost0)
+        nq0, nt0, nq1, nt1 = res.apply_delta(
+            jnp.where(accept, delta, zero), q0, t0, q1, t1)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
+                        jnp.minimum(lam * 4.0, 1e4))
+        active = it < dyn.ls_max_num_iters
+        q0 = jnp.where(active, nq0, q0)
+        t0 = jnp.where(active, nt0, t0)
+        q1 = jnp.where(active, nq1, q1)
+        t1 = jnp.where(active, nt1, t1)
+        return q0, t0, q1, t1, lam, jnp.where(active, best, carry[5])
+
+    init = (qb, tb, qe, te, jnp.asarray(1e-4, raw.dtype),
+            jnp.asarray(jnp.inf, raw.dtype))
+    q0, t0, q1, t1, _, cost = jax.lax.fori_loop(0, MAX_INNER_ITERS, body, init)
+    return q0, t0, q1, t1, cost, n_res
+
+
+def build_register_fn(statics: SolverStatics):
+    """Compile-time specialization of the full registration loop.
+
+    The returned function has signature
+      (level, raw [K,3], alphas [K], valid [K], qb, tb, qe, te, prior, dyn)
+        -> RegistrationResult
+    and is safe to wrap in jax.jit (all control flow is lax).
+    """
+
+    def register(level, raw, alphas, valid, qb, tb, qe, te, prior,
+                 dyn: SolverDynamics):
+        qb = s3.quat_normalize(qb)
+        qe = s3.quat_normalize(qe)
+        sensor_location = te  # reference passes &end_t (ct_icp.cpp:592)
+
+        def cond(carry):
+            it, _, _, _, _, _, converged, _, _, _ = carry
+            return (it < dyn.num_iters_icp) & ~converged
+
+        def body(carry):
+            it, cqb, ctb, cqe, cte, _, _, _, _, _ = carry
+            anchors, normals, lines, cov_inv, geom_w, ok = _build_problem(
+                statics, dyn, level, raw, alphas, valid, cqb, ctb, cqe, cte,
+                sensor_location)
+            nqb, ntb, nqe, nte, cost, n_res = _lm_inner_loop(
+                statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
+                geom_w, ok, cqb, ctb, cqe, cte, prior)
+            # not enough residuals: freeze the state, fail the problem
+            enough = n_res >= dyn.min_number_neighbors
+            nqb = jnp.where(enough, nqb, cqb)
+            ntb = jnp.where(enough, ntb, ctb)
+            nqe = jnp.where(enough, nqe, cqe)
+            nte = jnp.where(enough, nte, cte)
+
+            diff_rot = (s3.angular_distance_deg(cqb, nqb)
+                        + s3.angular_distance_deg(cqe, nqe))
+            diff_trans = (jnp.linalg.norm(ctb - ntb)
+                          + jnp.linalg.norm(cte - nte))
+            converged = ((diff_rot < dyn.threshold_orientation_norm)
+                         & (diff_trans < dyn.threshold_translation_norm))
+            converged = converged | ~enough
+            return (it + 1, nqb, ntb, nqe, nte, cost, converged, n_res,
+                    enough, cost)
+
+        init = (jnp.int32(0), qb, tb, qe, te,
+                jnp.asarray(jnp.inf, raw.dtype), jnp.asarray(False),
+                jnp.int32(0), jnp.asarray(True), jnp.asarray(jnp.inf, raw.dtype))
+        (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough, _) = \
+            jax.lax.while_loop(cond, body, init)
+
+        return RegistrationResult(
+            quat_begin=s3.quat_normalize(fqb), tr_begin=ftb,
+            quat_end=s3.quat_normalize(fqe), tr_end=fte,
+            num_residuals=n_res, num_iters=it, converged=converged,
+            final_cost=cost, valid_problem=enough)
+
+    return register
+
+
+@functools.lru_cache(maxsize=64)
+def jitted_register_fn(statics: SolverStatics):
+    return jax.jit(build_register_fn(statics))

@@ -1,0 +1,170 @@
+"""End-to-end solver test on a synthetic planes room.
+
+Mirrors the reference integration test intent (test/integration/
+testint_odometry.cpp: 6 axis-aligned planes, per-point interpolated-pose
+timestamps, registration must succeed): build a voxel map of the room, render
+an elastic scan from a known (begin, end) trajectory, perturb the initial
+estimate, and require the CT solver to recover both poses.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ct_icp_tpu.config.options import (CTICPOptions, MultiResolutionVoxelMapOptions,
+                                       ResolutionParam, PoseParametrization)
+from ct_icp_tpu.core import se3_np as s3n
+from ct_icp_tpu.core.pose import Pose, TrajectoryFrame
+from ct_icp_tpu.icp.registration import CTICPRegistration, make_prior
+from ct_icp_tpu.mapping import voxel_map as vm
+
+
+def room_surface_points(rng, n, half=5.0):
+    """Random points on the 6 faces of a cube [-half, half]^3."""
+    face = rng.integers(0, 6, n)
+    uv = rng.uniform(-half, half, (n, 2))
+    pts = np.zeros((n, 3))
+    axis = face % 3
+    sign = np.where(face < 3, 1.0, -1.0)
+    for i in range(n):
+        a = axis[i]
+        rest = [j for j in range(3) if j != a]
+        pts[i, a] = sign[i] * half
+        pts[i, rest[0]] = uv[i, 0]
+        pts[i, rest[1]] = uv[i, 1]
+    return pts
+
+
+def make_room_map(rng, map_options):
+    level = vm.make_level(map_options.resolutions[0].capacity_log2,
+                          map_options.resolutions[0].max_num_points)
+    pts = room_surface_points(rng, 60000)
+    level, n = vm.insert_points(
+        level, jnp.asarray(pts, dtype=jnp.float32),
+        jnp.ones(pts.shape[0], bool),
+        map_options.resolutions[0].resolution,
+        map_options.resolutions[0].min_distance_between_points,
+        jnp.zeros(3, dtype=jnp.float32), 1 << 14)
+    assert int(n) > 10000
+    return vm.MapState(levels=(level,))
+
+
+MAP_OPTIONS = MultiResolutionVoxelMapOptions(
+    resolutions=(ResolutionParam(0.5, 0.05, 40, 16),),
+    default_radius=0.8)
+
+
+def render_scan(rng, n, frame: TrajectoryFrame):
+    """Sample room surface points, express them in the (moving) sensor frame
+    with per-point timestamps in [t0, t1]."""
+    world = room_surface_points(rng, n)
+    ts = rng.uniform(frame.begin_pose.timestamp, frame.end_pose.timestamp, n)
+    alphas = frame.begin_pose.alpha_timestamp(ts, frame.end_pose)
+    q, t = s3n.se3_interpolate(
+        np.broadcast_to(frame.begin_pose.quat, (n, 4)),
+        np.broadcast_to(frame.begin_pose.tr, (n, 3)),
+        np.broadcast_to(frame.end_pose.quat, (n, 4)),
+        np.broadcast_to(frame.end_pose.tr, (n, 3)), alphas)
+    qi, ti = s3n.se3_inverse(q, t)
+    raw = s3n.quat_rotate(qi, world) + ti
+    return raw, ts
+
+
+@pytest.fixture(scope="module")
+def room():
+    rng = np.random.default_rng(5)
+    return make_room_map(rng, MAP_OPTIONS)
+
+
+def _gt_frame():
+    rot = s3n.quat_from_rotvec(np.array([0.0, 0.0, np.deg2rad(2.0)]))
+    begin = Pose(timestamp=0.0)
+    end = Pose(rot, np.array([0.3, 0.1, 0.0]), timestamp=1.0)
+    return TrajectoryFrame(begin, end)
+
+
+def test_ct_registration_recovers_elastic_pose(room):
+    rng = np.random.default_rng(9)
+    gt = _gt_frame()
+    raw, ts = render_scan(rng, 800, gt)
+
+    opts = CTICPOptions(num_iters_icp=15, ls_max_num_iters=5,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6,
+                        min_number_neighbors=10)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024)
+
+    init = TrajectoryFrame(
+        Pose(s3n.quat_from_rotvec(np.array([0, 0, np.deg2rad(0.5)])),
+             np.array([0.05, -0.05, 0.02]), timestamp=0.0),
+        Pose(s3n.quat_from_rotvec(np.array([0, 0, np.deg2rad(1.0)])),
+             np.array([0.2, 0.2, -0.03]), timestamp=1.0))
+
+    summary = reg.register(room, raw, ts, init)
+    assert summary.success
+    assert summary.num_residuals_used > 400
+
+    err_b_t = np.linalg.norm(init.begin_pose.tr - gt.begin_pose.tr)
+    err_e_t = np.linalg.norm(init.end_pose.tr - gt.end_pose.tr)
+    err_b_r = init.begin_pose.angular_distance(gt.begin_pose)
+    err_e_r = init.end_pose.angular_distance(gt.end_pose)
+    assert err_b_t < 0.02, err_b_t
+    assert err_e_t < 0.02, err_e_t
+    assert err_b_r < 0.15, err_b_r
+    assert err_e_r < 0.15, err_e_r
+
+
+def test_simple_parametrization_rigid(room):
+    rng = np.random.default_rng(13)
+    # rigid frame: begin == end pose, SIMPLE parametrization optimizes end only
+    rot = s3n.quat_from_rotvec(np.array([0.0, 0.0, np.deg2rad(1.0)]))
+    pose = Pose(rot, np.array([0.2, 0.0, 0.0]), timestamp=1.0)
+    gt = TrajectoryFrame(Pose(pose.quat.copy(), pose.tr.copy(), timestamp=0.0),
+                         pose)
+    raw, ts = render_scan(rng, 600, gt)
+
+    opts = CTICPOptions(num_iters_icp=12, ls_max_num_iters=4,
+                        parametrization=PoseParametrization.SIMPLE,
+                        min_number_neighbors=10,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024)
+    init = TrajectoryFrame(Pose(timestamp=0.0), Pose(timestamp=1.0))
+    summary = reg.register(room, raw, ts, init)
+    assert summary.success
+    assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.02
+    assert init.end_pose.angular_distance(gt.end_pose) < 0.15
+
+
+def test_registration_with_motion_prior(room):
+    rng = np.random.default_rng(21)
+    gt = _gt_frame()
+    raw, ts = render_scan(rng, 700, gt)
+    prev = TrajectoryFrame(
+        Pose(timestamp=-1.0), Pose(tr=np.array([0.0, 0.0, 0.0]), timestamp=0.0))
+
+    from ct_icp_tpu.config.options import MotionModelOptions
+    prior = make_prior(prev, MotionModelOptions(), np.zeros(3))
+    opts = CTICPOptions(num_iters_icp=15, ls_max_num_iters=5,
+                        min_number_neighbors=10,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024)
+    init = TrajectoryFrame(Pose(timestamp=0.0), Pose(timestamp=1.0))
+    summary = reg.register(room, raw, ts, init, prior=prior)
+    assert summary.success
+    assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.03
+
+
+def test_failure_on_empty_map():
+    empty = vm.MapState(levels=(vm.make_level(10, 8),))
+    opts = CTICPOptions(min_number_neighbors=10)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=128)
+    rng = np.random.default_rng(3)
+    raw = rng.uniform(-1, 1, (100, 3))
+    init = TrajectoryFrame(Pose(timestamp=0.0), Pose(timestamp=1.0))
+    summary = reg.register(empty, raw, np.linspace(0, 1, 100), init)
+    assert not summary.success
