@@ -110,39 +110,23 @@ class CTICPRegistration:
         return slv.make_dynamics(options or self.options, self.search_radius,
                                  self.voxel_resolution)
 
-    def register(self, map_state: vm.MapState,
-                 raw_kpts: np.ndarray, timestamps: np.ndarray,
-                 frame: TrajectoryFrame,
-                 prior: Optional[dict] = None,
-                 origin: Optional[np.ndarray] = None,
-                 options: Optional[CTICPOptions] = None) -> ICPSummary:
-        """Numpy-in / numpy-out registration (updates ``frame`` in place).
+    def register_device(self, map_state: vm.MapState,
+                        raw_dev, alphas_dev, valid_dev,
+                        frame: TrajectoryFrame,
+                        prior: Optional[dict] = None,
+                        origin: Optional[np.ndarray] = None,
+                        options: Optional[CTICPOptions] = None) -> ICPSummary:
+        """Device-array registration (updates ``frame`` in place).
 
+        ``raw_dev`` [K, 3] f32, ``alphas_dev`` [K] f32 (already in [0, 1]),
+        ``valid_dev`` [K] bool, all with K == statics.num_keypoints.
         ``origin`` is the world location of the device map frame (float64);
-        poses are shifted into the map frame for the f32 solve and shifted
-        back on return.
+        poses are shifted into the map frame for the f32 solve and back.
         """
         import time
         t0 = time.time()
         origin = np.zeros(3) if origin is None else np.asarray(origin)
         opts = options or self.options
-        k = self.statics.num_keypoints
-        n = raw_kpts.shape[0]
-        if n > k:
-            raise ValueError(f"{n} keypoints > static capacity {k}")
-        raw = np.zeros((k, 3), np.float32)
-        raw[:n] = raw_kpts
-        valid = np.zeros((k,), bool)
-        valid[:n] = True
-
-        # host-side alpha-timestamps (float64), reference types.h:192-219
-        alphas64 = s3n.alpha_timestamp(
-            np.asarray(timestamps, np.float64),
-            frame.begin_pose.timestamp, frame.end_pose.timestamp)
-        if opts.parametrization == PoseParametrization.SIMPLE:
-            alphas64 = np.ones_like(alphas64)
-        alphas = np.ones((k,), np.float32)
-        alphas[:n] = alphas64
 
         qb = jnp.asarray(s3n.quat_normalize(frame.begin_pose.quat), jnp.float32)
         tb = jnp.asarray(frame.begin_pose.tr - origin, jnp.float32)
@@ -154,7 +138,7 @@ class CTICPRegistration:
 
         result = self._fn(
             map_state.levels[self.level_index],
-            jnp.asarray(raw), jnp.asarray(alphas), jnp.asarray(valid),
+            raw_dev, alphas_dev, valid_dev,
             qb, tb, qe, te, prior, self.dynamics(opts))
 
         frame.begin_pose.quat = np.asarray(result.quat_begin, np.float64)
@@ -174,3 +158,34 @@ class CTICPRegistration:
                 f"number_of_residuals : {summary.num_residuals_used}")
         summary.duration_total = (time.time() - t0) * 1000.0
         return summary
+
+    def register(self, map_state: vm.MapState,
+                 raw_kpts: np.ndarray, timestamps: np.ndarray,
+                 frame: TrajectoryFrame,
+                 prior: Optional[dict] = None,
+                 origin: Optional[np.ndarray] = None,
+                 options: Optional[CTICPOptions] = None) -> ICPSummary:
+        """Numpy-in / numpy-out registration (updates ``frame`` in place)."""
+        opts = options or self.options
+        k = self.statics.num_keypoints
+        n = raw_kpts.shape[0]
+        if n > k:
+            raise ValueError(f"{n} keypoints > static capacity {k}")
+        raw = np.zeros((k, 3), np.float32)
+        raw[:n] = raw_kpts
+        valid = np.zeros((k,), bool)
+        valid[:n] = True
+
+        # host-side alpha-timestamps (float64), reference types.h:192-219
+        alphas64 = s3n.alpha_timestamp(
+            np.asarray(timestamps, np.float64),
+            frame.begin_pose.timestamp, frame.end_pose.timestamp)
+        if opts.parametrization == PoseParametrization.SIMPLE:
+            alphas64 = np.ones_like(alphas64)
+        alphas = np.ones((k,), np.float32)
+        alphas[:n] = alphas64
+
+        return self.register_device(
+            map_state, jnp.asarray(raw), jnp.asarray(alphas),
+            jnp.asarray(valid), frame, prior=prior, origin=origin,
+            options=opts)

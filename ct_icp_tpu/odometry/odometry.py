@@ -1,0 +1,573 @@
+"""The odometry pipeline — host driver around the device solver/map.
+
+Functional counterpart of the reference ``ct_icp::Odometry``
+(reference include/ct_icp/odometry.h:159-402, src/ct_icp/odometry.cpp):
+constant-velocity motion initialization, init-phase parameter regimen, frame
+preprocessing, (robust) registration with escalation, sanity assessment,
+insertion heuristics and map maintenance. All per-point compute runs on device
+through the jitted stages of odometry/pipeline.py and the solver; the host
+holds only poses (float64), option state and control flow.
+
+TPU-specific addition: a floating map origin. Device arrays store coordinates
+relative to ``self.origin`` (float64, host); when the vehicle strays beyond
+``rebase_distance`` the map is rebased (rebuilt shifted) so float32 precision
+is position-independent — the trajectory itself stays float64 on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ct_icp_tpu.config.options import (CTICPOptions, Initialization,
+                                       MotionCompensation, OdometryOptions,
+                                       PoseParametrization, SamplingOption)
+from ct_icp_tpu.core import se3_np as s3n
+from ct_icp_tpu.core.pose import Pose, TrajectoryFrame
+from ct_icp_tpu.icp.registration import CTICPRegistration, ICPSummary
+from ct_icp_tpu.mapping import voxel_map as vm
+from ct_icp_tpu.odometry import pipeline as pl
+from ct_icp_tpu.odometry.motion_model import PreviousFrameMotionModel
+from ct_icp_tpu.ops import sampling as smp
+
+
+@dataclasses.dataclass
+class FrameInfo:
+    """Reference Odometry::FrameInfo (odometry.h:201-205)."""
+
+    registered_fid: int = -1
+    frame_id: int = -1
+    begin_timestamp: float = -1.0
+    end_timestamp: float = -1.0
+
+
+@dataclasses.dataclass
+class RegistrationSummary:
+    """Reference Odometry::RegistrationSummary (odometry.h:163-199)."""
+
+    frame: TrajectoryFrame = dataclasses.field(default_factory=TrajectoryFrame)
+    initial_frame: TrajectoryFrame = dataclasses.field(default_factory=TrajectoryFrame)
+    sample_size: int = 0
+    number_of_residuals: int = 0
+    robust_level: int = 0
+    distance_correction: float = 0.0
+    relative_distance: float = 0.0
+    relative_orientation: float = 0.0
+    ego_orientation: float = 0.0
+    success: bool = True
+    points_added: bool = False
+    number_of_attempts: int = 0
+    error_message: str = ""
+    icp_summary: ICPSummary = dataclasses.field(default_factory=ICPSummary)
+    logged_values: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # device handles (fetch with np.asarray when needed)
+    corrected_points: Optional[tuple] = None   # (world, valid) device arrays
+    keypoints: Optional[tuple] = None          # (raw, alphas, valid)
+
+
+class _InsertionTracker:
+    """Reference FrameInsertionTracker (odometry.h:319-348)."""
+
+    def __init__(self, options: OdometryOptions):
+        self.options = options
+        self.last_inserted_frame_idx = 0
+        self.cum_distance_since_insertion = 0.0
+        self.cum_orientation_change_since_insertion = 0.0
+        self.skipped_frames = 0
+        self.total_insertions = 0
+
+    def insert_frame(self, frame_id: int):
+        self.last_inserted_frame_idx = frame_id
+        self.cum_distance_since_insertion = 0.0
+        self.cum_orientation_change_since_insertion = 0.0
+        self.skipped_frames = 0
+        self.total_insertions += 1
+
+    def skip_frame(self):
+        self.skipped_frames += 1
+
+
+class Odometry:
+    """Per-frame continuous-time LiDAR odometry against a local voxel map."""
+
+    def __init__(self, options: OdometryOptions, seed: int = 0):
+        options = _apply_motion_compensation(options)
+        self.options = options
+        self.map_options = options.map_options
+        self.map_state = vm.make_map(self.map_options)
+        self.origin = np.zeros(3, dtype=np.float64)
+        self.rebase_distance = 500.0
+
+        self.registration = CTICPRegistration(
+            options.ct_icp_options, self.map_options,
+            num_keypoints=options.max_keypoints)
+        self._update_map = pl.make_update_map_fn(
+            self.map_options, options.max_dirty_voxels)
+        self._rebase = pl.make_rebase_fn(self.map_options)
+
+        self.default_motion_model = PreviousFrameMotionModel(
+            options.default_motion_model)
+        self.trajectory: List[TrajectoryFrame] = []
+        self.registered_frames = 0
+        self.robust_num_consecutive_failures = 0
+        self.suspect_registration_error = False
+        self.next_robust_level = options.robust_minimal_level
+        self.insertion_tracker = _InsertionTracker(options)
+        self.rng = np.random.default_rng(seed)
+        self.callbacks: Dict[str, list] = {}
+
+    # ------------------------------------------------------------- public API —
+    def map_size(self) -> int:
+        return int(self.map_state.levels[0].num_points)
+
+    def register_frame(self, xyz: np.ndarray, timestamps: np.ndarray,
+                       frame_id: Optional[int] = None,
+                       initial_estimate: Optional[TrajectoryFrame] = None
+                       ) -> RegistrationSummary:
+        """Register one scan (reference RegisterFrame, odometry.cpp:199-273).
+
+        ``xyz`` [N, 3] sensor-frame points, ``timestamps`` [N] raw per-point
+        timestamps (any monotone unit).
+        """
+        t_start = time.time()
+        xyz = np.ascontiguousarray(xyz, dtype=np.float64)
+        timestamps = np.ascontiguousarray(timestamps, dtype=np.float64)
+        if xyz.shape[0] == 0:
+            raise ValueError("The registered frame cannot be empty")
+
+        info = FrameInfo(
+            registered_fid=self.registered_frames,
+            frame_id=self.registered_frames if frame_id is None else frame_id,
+            begin_timestamp=float(timestamps.min()),
+            end_timestamp=float(timestamps.max()))
+        self.registered_frames += 1
+        self._initialize_motion(info, initial_estimate)
+        summary = self._do_register(xyz, timestamps, info)
+        summary.logged_values["odometry_total"] = (time.time() - t_start) * 1e3
+        return summary
+
+    def get_trajectory(self) -> List[TrajectoryFrame]:
+        return [f.copy() for f in self.trajectory]
+
+    def get_map_points(self, level: int = 0) -> np.ndarray:
+        """World-frame map points + normals of one level
+        (reference GetMapPoints, map.h:354-380)."""
+        lvl = self.map_state.levels[level]
+        coords0 = np.asarray(lvl.coords[:, 0])
+        occupied = (coords0 != int(vm.EMPTY)) & (coords0 != int(vm.TOMB))
+        count = np.asarray(lvl.count)
+        pts = np.asarray(lvl.points)
+        nrm = np.asarray(lvl.normals)
+        out_p, out_n = [], []
+        for s in np.nonzero(occupied & (count > 0))[0]:
+            c = count[s]
+            out_p.append(pts[s, :c])
+            out_n.append(np.repeat(nrm[s][None, :], c, axis=0))
+        if not out_p:
+            return np.zeros((0, 6))
+        p = np.concatenate(out_p) + self.origin
+        n = np.concatenate(out_n)
+        return np.concatenate([p, n], axis=1)
+
+    def reset(self, options: Optional[OdometryOptions] = None):
+        """Reference Odometry::Reset (odometry.cpp:956-975)."""
+        if options is not None:
+            self.__init__(options)
+            return
+        self.map_state = vm.make_map(self.map_options)
+        self.origin = np.zeros(3, dtype=np.float64)
+        self.trajectory = []
+        self.registered_frames = 0
+        self.robust_num_consecutive_failures = 0
+        self.suspect_registration_error = False
+        self.next_robust_level = self.options.robust_minimal_level
+        self.insertion_tracker = _InsertionTracker(self.options)
+        self.default_motion_model.reset()
+
+    # ------------------------------------------------------- motion init —
+    def _initialize_motion(self, info: FrameInfo,
+                           initial_estimate: Optional[TrajectoryFrame]):
+        """Reference InitializeMotion (odometry.cpp:276-330)."""
+        if initial_estimate is not None:
+            self.trajectory.append(initial_estimate.copy())
+            return
+        k = info.registered_fid
+        frame = TrajectoryFrame(
+            Pose(timestamp=info.begin_timestamp, frame_id=info.frame_id),
+            Pose(timestamp=info.end_timestamp, frame_id=info.frame_id))
+        tr = self.trajectory
+        const_vel = self.options.initialization == Initialization.INIT_CONSTANT_VELOCITY
+        continuous = self.options.motion_compensation == MotionCompensation.CONTINUOUS
+        if k <= 1:
+            pass  # identity
+        elif k == 2:
+            if const_vel:
+                rel = tr[k - 2].end_pose.inverse() * tr[k - 1].end_pose
+                frame.begin_pose.quat = tr[k - 1].end_pose.quat.copy()
+                frame.begin_pose.tr = tr[k - 1].end_pose.tr.copy()
+                nxt = tr[k - 1].end_pose * rel
+                frame.end_pose.quat, frame.end_pose.tr = nxt.quat, nxt.tr
+            else:
+                frame.begin_pose.quat = tr[k - 1].begin_pose.quat.copy()
+                frame.begin_pose.tr = tr[k - 1].begin_pose.tr.copy()
+                frame.end_pose.quat = frame.begin_pose.quat.copy()
+                frame.end_pose.tr = frame.begin_pose.tr.copy()
+        else:
+            if const_vel:
+                if continuous:
+                    rel_b = tr[k - 2].begin_pose.inverse() * tr[k - 1].begin_pose
+                    nb = tr[k - 1].begin_pose * rel_b
+                    frame.begin_pose.quat, frame.begin_pose.tr = nb.quat, nb.tr
+                else:
+                    frame.begin_pose.quat = tr[k - 1].end_pose.quat.copy()
+                    frame.begin_pose.tr = tr[k - 1].end_pose.tr.copy()
+                rel_e = tr[k - 2].end_pose.inverse() * tr[k - 1].end_pose
+                ne = tr[k - 1].end_pose * rel_e
+                frame.end_pose.quat, frame.end_pose.tr = ne.quat, ne.tr
+            else:
+                frame.begin_pose.quat = tr[k - 1].end_pose.quat.copy()
+                frame.begin_pose.tr = tr[k - 1].end_pose.tr.copy()
+                frame.end_pose.quat = frame.begin_pose.quat.copy()
+                frame.end_pose.tr = frame.begin_pose.tr.copy()
+        self.trajectory.append(frame)
+
+    # ------------------------------------------------------------ registration —
+    def _frame_alphas(self, timestamps: np.ndarray, info: FrameInfo) -> np.ndarray:
+        if info.registered_fid <= 1:
+            # first frames: collapse timestamps to the end pose
+            # (reference odometry.cpp:356-360)
+            return np.ones_like(timestamps)
+        icp = self.options.ct_icp_options
+        if (icp.parametrization == PoseParametrization.SIMPLE
+                and not icp.point_to_plane_with_distortion):
+            # rigid modes (NONE / CONSTANT_VELOCITY): no interpolation
+            return np.ones_like(timestamps)
+        return s3n.alpha_timestamp(timestamps, info.begin_timestamp,
+                                   info.end_timestamp)
+
+    def _map_frame(self, frame: TrajectoryFrame):
+        """frame poses as device f32 arrays in the map frame."""
+        return (jnp.asarray(s3n.quat_normalize(frame.begin_pose.quat), jnp.float32),
+                jnp.asarray(frame.begin_pose.tr - self.origin, jnp.float32),
+                jnp.asarray(s3n.quat_normalize(frame.end_pose.quat), jnp.float32),
+                jnp.asarray(frame.end_pose.tr - self.origin, jnp.float32))
+
+    def _initialize_frame(self, xyz, timestamps, info: FrameInfo):
+        """Subsample + (optionally) distort the scan
+        (reference InitializeFrame, odometry.cpp:333-382)."""
+        o = self.options
+        n = xyz.shape[0]
+        cap = o.max_scan_points
+        if n > cap:
+            sel = self.rng.choice(n, cap, replace=False)
+            xyz, timestamps = xyz[sel], timestamps[sel]
+            n = cap
+        raw = np.zeros((cap, 3), np.float32)
+        raw[:n] = xyz
+        alphas = np.ones((cap,), np.float32)
+        alphas[:n] = self._frame_alphas(timestamps, info)
+        valid = np.zeros((cap,), bool)
+        valid[:n] = True
+
+        sample_size = (o.init_voxel_size
+                       if info.registered_fid < o.init_num_frames
+                       else o.voxel_size)
+        sub_raw, sub_alphas, sub_valid, cnt = pl.preprocess(
+            jnp.asarray(raw), jnp.asarray(alphas), jnp.asarray(valid),
+            jnp.float32(sample_size), o.max_subsampled_points)
+
+        k = info.registered_fid
+        if (k > 1 and o.motion_compensation == MotionCompensation.CONSTANT_VELOCITY):
+            qb, tb, qe, te = self._map_frame(self.trajectory[k])
+            sub_raw = pl.distort_raw(sub_raw, sub_alphas, qb, tb, qe, te)
+        return sub_raw, sub_alphas, sub_valid, int(cnt)
+
+    def _try_register(self, sub, info: FrameInfo, icp_options: CTICPOptions,
+                      summary: RegistrationSummary, sample_voxel_size: float,
+                      prior: Optional[dict]):
+        """Reference TryRegister (odometry.cpp:525-601)."""
+        o = self.options
+        sub_raw, sub_alphas, sub_valid = sub
+        is_startup = info.registered_fid < o.init_num_frames
+
+        if o.sampling == SamplingOption.GRID:
+            kp_raw, kp_alphas, kp_valid, kp_cnt = pl.sample_keypoints(
+                sub_raw, sub_alphas, sub_valid, jnp.float32(sample_voxel_size),
+                o.max_keypoints)
+        elif o.sampling == SamplingOption.ADAPTIVE:
+            idx, ok, kp_cnt = smp.adaptive_grid_sampling_indices(
+                sub_raw, sub_valid, o.adaptive_options, o.max_keypoints)
+            kp_raw, kp_alphas, kp_valid = sub_raw[idx], sub_alphas[idx], ok
+        else:
+            kp_raw, kp_alphas, kp_valid = (sub_raw[:o.max_keypoints],
+                                           sub_alphas[:o.max_keypoints],
+                                           sub_valid[:o.max_keypoints])
+            kp_cnt = jnp.sum(kp_valid)
+
+        if (not is_startup and o.max_num_keypoints > 0):
+            # random cap (reference shuffle+resize, odometry.cpp:549-552)
+            import jax
+            key = jax.random.PRNGKey(int(self.rng.integers(0, 2**31)))
+            idx, kp_valid2, _ = smp.random_cap_indices(
+                kp_valid, key, o.max_keypoints, o.max_num_keypoints)
+            kp_raw, kp_alphas, kp_valid = kp_raw[idx], kp_alphas[idx], kp_valid2
+
+        summary.sample_size = int(kp_cnt)
+
+        opts = icp_options
+        if is_startup:
+            # init regimen (reference odometry.cpp:560-565)
+            opts = dataclasses.replace(
+                opts, threshold_voxel_occupancy=1,
+                num_iters_icp=max(opts.num_iters_icp, 15))
+
+        icp = self.registration.register_device(
+            self.map_state, kp_raw, kp_alphas, kp_valid, summary.frame,
+            prior=prior, origin=self.origin, options=opts)
+        summary.icp_summary = icp
+        summary.success = icp.success
+        summary.number_of_residuals = icp.num_residuals_used
+        summary.keypoints = (kp_raw, kp_alphas, kp_valid)
+        if not icp.success:
+            summary.error_message = icp.error_log
+
+    def _assess_registration(self, summary: RegistrationSummary) -> bool:
+        """Reference AssessRegistration (odometry.cpp:604-684)."""
+        o = self.options
+        if summary.relative_distance > o.distance_error_threshold:
+            summary.error_message = "Error in ego-motion distance !"
+            return False
+        if (summary.relative_orientation > o.orientation_error_threshold
+                or summary.ego_orientation > o.orientation_error_threshold):
+            summary.error_message = "Error in ego-motion orientation !"
+            return False
+        success = summary.success
+        if o.robust_registration:
+            if (summary.robust_level == 0
+                    and (summary.relative_orientation > o.robust_threshold_relative_orientation
+                         or summary.ego_orientation > o.robust_threshold_ego_orientation)):
+                if summary.robust_level < o.robust_num_attempts_when_rotation:
+                    summary.error_message = (
+                        "Large rotations require at a robust_level of at least 1 "
+                        f"(got: {summary.robust_level}).")
+                    return False
+            if summary.relative_distance > o.robust_relative_trans_threshold:
+                summary.error_message = "The relative distance is too important"
+                return False
+        return success
+
+    def _robust_registration(self, sub, info: FrameInfo,
+                             summary: RegistrationSummary,
+                             prior: Optional[dict]):
+        """Reference RobustRegistration + escalation (odometry.cpp:780-852,
+        996-1018). Escalation only mutates dynamic scalars -> no recompiles."""
+        o = self.options
+        attempt_opts = o.ct_icp_options
+        sample_voxel_size = (o.init_sample_voxel_size
+                             if info.registered_fid < o.init_num_frames
+                             else o.sample_voxel_size)
+        robust_level = 0
+        initial_estimate = summary.frame.copy()
+        summary.number_of_attempts = 0
+        min_voxel_size = min(o.init_voxel_size, o.voxel_size)
+
+        def increase_level():
+            nonlocal attempt_opts, sample_voxel_size, robust_level
+            summary.frame = initial_estimate.copy()
+            attempt_opts = dataclasses.replace(
+                attempt_opts,
+                ls_max_num_iters=attempt_opts.ls_max_num_iters + 30,
+                max_num_residuals=(attempt_opts.max_num_residuals * 2
+                                   if attempt_opts.max_num_residuals > 0
+                                   else attempt_opts.max_num_residuals),
+                num_iters_icp=min(attempt_opts.num_iters_icp + 20, 50),
+                threshold_orientation_norm=max(
+                    attempt_opts.threshold_orientation_norm / 10, 1e-5),
+                threshold_translation_norm=max(
+                    attempt_opts.threshold_orientation_norm / 10, 1e-4),
+                ls_sigma=attempt_opts.ls_sigma * 1.2,
+                max_dist_to_plane_ct_icp=attempt_opts.max_dist_to_plane_ct_icp * 1.5)
+            sample_voxel_size = max(o.sample_voxel_size / 1.5, min_voxel_size)
+            robust_level += 1
+
+        for _ in range(self.next_robust_level):
+            increase_level()
+
+        kindex = info.registered_fid
+        while True:
+            summary.robust_level = robust_level
+            self._try_register(sub, info, attempt_opts, summary,
+                               sample_voxel_size, prior)
+            summary.number_of_attempts += 1
+            if kindex > 0:
+                prev = self.trajectory[kindex - 1]
+                summary.distance_correction = float(np.linalg.norm(
+                    summary.frame.begin_pose.tr - prev.end_pose.tr))
+                summary.relative_orientation = prev.end_pose.angular_distance(
+                    summary.frame.end_pose)
+                summary.ego_orientation = summary.frame.ego_angular_distance()
+            summary.relative_distance = float(np.linalg.norm(
+                summary.frame.end_pose.tr - summary.frame.begin_pose.tr))
+            good = self._assess_registration(summary)
+            if good:
+                break
+            if summary.number_of_attempts < o.robust_num_attempts:
+                increase_level()
+            else:
+                break
+
+        if summary.number_of_attempts >= o.robust_num_attempts:
+            self.robust_num_consecutive_failures += 1
+        else:
+            self.robust_num_consecutive_failures = 0
+
+    def _do_register(self, xyz, timestamps, info: FrameInfo
+                     ) -> RegistrationSummary:
+        """Reference DoRegister (odometry.cpp:386-501)."""
+        o = self.options
+        k = info.registered_fid
+        sub_raw, sub_alphas, sub_valid, sub_count = self._initialize_frame(
+            xyz, timestamps, info)
+        sub = (sub_raw, sub_alphas, sub_valid)
+
+        initial_estimate = self.trajectory[k].copy()
+        summary = RegistrationSummary()
+        summary.frame = self.trajectory[k].copy()
+        summary.initial_frame = initial_estimate
+        summary.logged_values["odometry_num_subsampled"] = sub_count
+
+        if k > 0:
+            prior = None
+            if o.with_default_motion_model:
+                self.default_motion_model.options = o.default_motion_model
+                self.default_motion_model.update_state(
+                    self.trajectory[k - 1], k - 1)
+                prior = self.default_motion_model.device_prior(self.origin)
+
+            if o.robust_registration:
+                self._robust_registration(sub, info, summary, prior)
+            else:
+                sample_voxel_size = (o.init_sample_voxel_size
+                                     if k < o.init_num_frames
+                                     else o.sample_voxel_size)
+                self._try_register(sub, info, o.ct_icp_options, summary,
+                                   sample_voxel_size, prior)
+                prev = self.trajectory[k - 1]
+                summary.relative_orientation = prev.end_pose.angular_distance(
+                    summary.frame.end_pose)
+                summary.ego_orientation = summary.frame.ego_angular_distance()
+                summary.relative_distance = float(np.linalg.norm(
+                    summary.frame.end_pose.tr - summary.frame.begin_pose.tr))
+                if not self._assess_registration(summary):
+                    summary.success = False
+                    if o.quit_on_error:
+                        self.trajectory[k] = summary.frame
+                        return summary
+            self.trajectory[k] = summary.frame
+
+        # transform the sub-frame with the optimized poses (corrected points)
+        qb, tb, qe, te = self._map_frame(summary.frame)
+        world = pl.transform_points(sub_raw, sub_alphas, qb, tb, qe, te)
+        summary.corrected_points = (world, sub_valid)
+
+        self._compute_summary_metrics(summary, k)
+        self._update_map_host(summary, world, sub_valid, k)
+        self._maybe_rebase()
+        return summary
+
+    def _compute_summary_metrics(self, summary: RegistrationSummary, k: int):
+        """Reference ComputeSummaryMetrics (odometry.cpp:978-988)."""
+        if k > 0:
+            cur, prev = self.trajectory[k], self.trajectory[k - 1]
+            summary.distance_correction = float(np.linalg.norm(
+                cur.begin_pose.tr - prev.end_pose.tr))
+            summary.relative_orientation = prev.end_pose.angular_distance(cur.end_pose)
+            summary.relative_distance = float(np.linalg.norm(
+                prev.end_pose.tr - cur.end_pose.tr))
+            summary.ego_orientation = cur.ego_angular_distance()
+
+    def _update_map_host(self, summary: RegistrationSummary, world, valid,
+                         k: int):
+        """Insertion decision + device map update
+        (reference UpdateMap, odometry.cpp:855-953)."""
+        o = self.options
+        add_points = True
+        if o.robust_registration:
+            self.suspect_registration_error = (
+                summary.number_of_attempts >= o.robust_num_attempts)
+            if (summary.ego_orientation > o.robust_threshold_ego_orientation
+                    or summary.relative_orientation > o.robust_threshold_relative_orientation):
+                add_points = False
+            if self.suspect_registration_error:
+                add_points |= self.robust_num_consecutive_failures > 5
+            self.next_robust_level = (o.robust_minimal_level if add_points
+                                      else o.robust_minimal_level + 1)
+            if not summary.success:
+                self.next_robust_level = o.robust_minimal_level + 2
+            else:
+                if (summary.relative_orientation > o.robust_threshold_relative_orientation
+                        or summary.ego_orientation > o.robust_threshold_ego_orientation
+                        or summary.number_of_attempts > 1):
+                    self.next_robust_level = o.robust_minimal_level + 1
+        else:
+            self.insertion_tracker.cum_orientation_change_since_insertion += \
+                summary.relative_orientation
+            self.insertion_tracker.cum_distance_since_insertion += \
+                summary.relative_distance
+            if self.insertion_tracker.total_insertions > 0:
+                if summary.ego_orientation > o.insertion_ego_rotation_threshold:
+                    add_points = (self.insertion_tracker.skipped_frames
+                                  > o.insertion_threshold_frames_skipped)
+                else:
+                    add_points = True
+
+        summary.points_added = add_points
+        if o.do_no_insert:
+            add_points = False
+        if o.always_insert:
+            add_points = True
+
+        location = jnp.asarray(
+            self.trajectory[-1].end_pose.tr - self.origin, jnp.float32)
+        begin_tr = jnp.asarray(
+            summary.frame.begin_pose.tr - self.origin, jnp.float32)
+        self.map_state, inserted = self._update_map(
+            self.map_state, world, valid, begin_tr, location,
+            jnp.float32(o.max_distance), jnp.asarray(add_points), prune=True)
+        summary.logged_values["map_inserted_points"] = int(inserted)
+        if add_points:
+            self.insertion_tracker.insert_frame(k)
+        else:
+            self.insertion_tracker.skip_frame()
+
+    def _maybe_rebase(self):
+        pos = self.trajectory[-1].end_pose.tr
+        if np.linalg.norm(pos - self.origin) > self.rebase_distance:
+            shift = (pos - self.origin).astype(np.float64)
+            self.map_state = self._rebase(
+                self.map_state, jnp.asarray(shift, jnp.float32))
+            self.origin = self.origin + shift
+
+
+def _apply_motion_compensation(options: OdometryOptions) -> OdometryOptions:
+    """Reference Odometry ctor option rewriting (odometry.cpp:700-725)."""
+    mc = options.motion_compensation
+    icp = options.ct_icp_options
+    if mc in (MotionCompensation.NONE, MotionCompensation.CONSTANT_VELOCITY):
+        icp = dataclasses.replace(
+            icp, point_to_plane_with_distortion=False,
+            parametrization=PoseParametrization.SIMPLE)
+    elif mc == MotionCompensation.ITERATIVE:
+        icp = dataclasses.replace(
+            icp, point_to_plane_with_distortion=True,
+            parametrization=PoseParametrization.SIMPLE)
+    else:  # CONTINUOUS
+        icp = dataclasses.replace(
+            icp, point_to_plane_with_distortion=True,
+            parametrization=PoseParametrization.CONTINUOUS_TIME)
+    return dataclasses.replace(options, ct_icp_options=icp)

@@ -1,0 +1,121 @@
+"""End-to-end odometry on a synthetic scene (reference testint_odometry.cpp
+analog): a room + interior structure, circular GT trajectory with per-point
+interpolated-pose timestamps; every registration must succeed and the
+estimated trajectory must track ground truth closely.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from ct_icp_tpu.config.options import (MultiResolutionVoxelMapOptions,
+                                       OdometryOptions, ResolutionParam,
+                                       CTICPOptions, MotionCompensation)
+from ct_icp_tpu.datasets import synthetic as syn
+from ct_icp_tpu.odometry.odometry import Odometry
+
+TEST_MAP = MultiResolutionVoxelMapOptions(
+    resolutions=(
+        ResolutionParam(0.2, 0.03, 30, 16),
+        ResolutionParam(0.5, 0.1, 25, 15),
+        ResolutionParam(1.5, 0.15, 25, 13),
+    ),
+    default_radius=0.8)
+
+
+def small_options(**kw) -> OdometryOptions:
+    return OdometryOptions(
+        map_options=TEST_MAP,
+        max_scan_points=8192,
+        max_subsampled_points=8192,
+        max_keypoints=2048,
+        max_dirty_voxels=4096,
+        init_num_frames=5,
+        max_distance=100.0,
+        ct_icp_options=CTICPOptions(
+            num_iters_icp=6, ls_max_num_iters=2, min_number_neighbors=10,
+            min_num_residuals=50),
+        **kw)
+
+
+def make_acquisition(seed=0, num_frames=25, noise=0.0):
+    prims = syn.box_room(half_extent=12.0, height=5.0)
+    prims.append(syn.Sphere(np.array([0.0, 0.0, 2.0]), 2.0))
+    prims.append(syn.Ball(np.array([5.0, -4.0, 1.0]), 1.0))
+    prims += syn.rectangle([-4, 2, 0], [3, 0, 0], [0, 0, 3])  # interior wall
+    scene = syn.Scene(prims)
+    traj = syn.circular_trajectory(radius=6.0, height=1.5, num_poses=200,
+                                   total_time=num_frames * 0.1 + 0.2,
+                                   angle_span=np.pi / 2)
+    opts = syn.SyntheticAcquisitionOptions(
+        num_points_per_frame=6000, frame_duration=0.1, max_range=60.0,
+        noise_sigma=noise)
+    return syn.SyntheticSensorAcquisition(scene, traj, opts, seed=seed)
+
+
+@pytest.mark.slow
+def test_odometry_tracks_synthetic_trajectory():
+    acq = make_acquisition(seed=3)
+    num_frames = min(acq.num_frames(), 25)
+    odo = Odometry(small_options())
+
+    gt_ends = []
+    for i in range(num_frames):
+        fr = acq.frame(i)
+        summary = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        assert summary.success, \
+            f"frame {i} failed: {summary.error_message}"
+        gt_ends.append(fr["end_pose"])
+
+    # The first frames anchor the map; GT starts away from the origin, so the
+    # whole estimate lives in the frame of the first pose: compare relatively.
+    traj = odo.get_trajectory()
+    first_gt = gt_ends[0]
+    first_est = traj[0].end_pose
+    errs_t, errs_r = [], []
+    for est, gt in zip(traj[1:], gt_ends[1:]):
+        rel_gt = first_gt.inverse() * gt
+        rel_est = first_est.inverse() * est.end_pose
+        errs_t.append(rel_gt.location_distance(rel_est))
+        errs_r.append(rel_gt.angular_distance(rel_est))
+    errs_t, errs_r = np.array(errs_t), np.array(errs_r)
+    assert errs_t.max() < 0.08, errs_t
+    assert errs_r.max() < 0.8, errs_r
+    assert odo.map_size() > 1000
+
+
+@pytest.mark.slow
+def test_odometry_constant_velocity_mode():
+    acq = make_acquisition(seed=7)
+    odo = Odometry(small_options(
+        motion_compensation=MotionCompensation.CONSTANT_VELOCITY))
+    for i in range(8):
+        fr = acq.frame(i)
+        summary = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        assert summary.success
+
+
+@pytest.mark.slow
+def test_odometry_robust_regimen():
+    acq = make_acquisition(seed=11)
+    opts = small_options(robust_registration=True, robust_num_attempts=3)
+    odo = Odometry(opts)
+    for i in range(8):
+        fr = acq.frame(i)
+        summary = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        assert summary.success
+
+
+def test_insertion_tracker_and_map_growth():
+    acq = make_acquisition(seed=5)
+    odo = Odometry(small_options())
+    fr = acq.frame(0)
+    s0 = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=0)
+    assert s0.points_added
+    size0 = odo.map_size()
+    assert size0 > 500
+    fr = acq.frame(1)
+    s1 = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=1)
+    assert odo.map_size() >= size0
+    assert len(odo.get_trajectory()) == 2
