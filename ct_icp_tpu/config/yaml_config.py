@@ -1,0 +1,221 @@
+"""YAML configuration surface — parses reference-style config files.
+
+Covers the reference's macro-driven YAML readers
+(reference src/ct_icp/config.cpp:26-321, include/SlamCore/config_utils.h):
+``yaml_to_ct_icp_options`` / ``yaml_to_odometry_options`` /
+``yaml_to_dataset_options`` / ``yaml_to_map_options`` /
+``yaml_to_motion_model_options``, plus the runner-level config
+(reference command/odometry_runner.h options). Unknown keys are ignored, like
+the FIND_OPTION macros; every options struct keeps its dataclass defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+from ct_icp_tpu.config import options as O
+
+
+def _fill_dataclass(cls, node: Optional[Dict], base=None, skip=()):
+    """Overlay YAML keys on a (frozen) dataclass instance, coercing enums."""
+    obj = base if base is not None else cls()
+    if not node:
+        return obj
+    updates = {}
+    for f in dataclasses.fields(cls):
+        if f.name in skip or f.name not in node:
+            continue
+        val = node[f.name]
+        cur = getattr(obj, f.name)
+        if isinstance(cur, enum.Enum):
+            updates[f.name] = type(cur)[str(val)]
+        elif isinstance(cur, bool):
+            updates[f.name] = bool(val)
+        elif isinstance(cur, int) and not isinstance(cur, bool):
+            updates[f.name] = int(val)
+        elif isinstance(cur, float):
+            updates[f.name] = float(val)
+        elif isinstance(cur, str):
+            updates[f.name] = str(val)
+        # nested dataclasses handled explicitly by the callers
+    return dataclasses.replace(obj, **updates)
+
+
+def yaml_to_ct_icp_options(node: Dict) -> O.CTICPOptions:
+    """Reference yaml_to_ct_icp_options (config.cpp:26-122)."""
+    return _fill_dataclass(O.CTICPOptions, node)
+
+
+def yaml_to_map_options(node: Dict) -> O.MultiResolutionVoxelMapOptions:
+    """Reference yaml_to_map_options (map.h:612, src/ct_icp/map.cpp)."""
+    base = O.MultiResolutionVoxelMapOptions()
+    if not node:
+        return base
+    resolutions = []
+    if "resolutions" in node:
+        for i, rnode in enumerate(node["resolutions"]):
+            default = (base.resolutions[i] if i < len(base.resolutions)
+                       else O.ResolutionParam())
+            resolutions.append(_fill_dataclass(O.ResolutionParam, rnode,
+                                               base=default))
+    else:
+        resolutions = list(base.resolutions)
+    out = _fill_dataclass(O.MultiResolutionVoxelMapOptions, node)
+    return dataclasses.replace(out, resolutions=tuple(resolutions))
+
+
+def yaml_to_motion_model_options(node: Dict) -> O.MotionModelOptions:
+    """Reference yaml_to_motion_model_options (config.cpp:304-318)."""
+    return _fill_dataclass(O.MotionModelOptions, node)
+
+
+def yaml_to_odometry_options(node: Dict) -> O.OdometryOptions:
+    """Reference yaml_to_odometry_options (config.cpp:132-255)."""
+    opts = _fill_dataclass(O.OdometryOptions, node)
+    updates: Dict[str, Any] = {}
+    if "map_options" in node:
+        updates["map_options"] = yaml_to_map_options(node["map_options"])
+    if "neighborhood_strategy" in node:
+        snode = node["neighborhood_strategy"]
+        stype = snode.get("type", "NEAREST_NEIGHBOR_STRATEGY")
+        if stype == "DISTANCE_BASED_STRATEGY":
+            updates["distance_strategy"] = _fill_dataclass(
+                O.DistanceBasedStrategyOptions, snode)
+        updates["neighborhood_strategy"] = _fill_dataclass(
+            O.NearestNeighborStrategyOptions, snode)
+    if "default_motion_model" in node:
+        updates["default_motion_model"] = yaml_to_motion_model_options(
+            node["default_motion_model"])
+    if "ct_icp_options" in node:
+        updates["ct_icp_options"] = yaml_to_ct_icp_options(node["ct_icp_options"])
+    if "adaptive_options" in node:
+        updates["adaptive_options"] = _fill_dataclass(
+            O.AdaptiveGridSamplingOptions, node["adaptive_options"])
+    return dataclasses.replace(opts, **updates)
+
+
+def yaml_to_dataset_options(node: Dict):
+    """Reference yaml_to_dataset_options (config.cpp:264-301)."""
+    from ct_icp_tpu.datasets.dataset import DatasetEnum, DatasetOptions
+    opts = DatasetOptions()
+    if "dataset" in node:
+        opts.dataset = DatasetEnum[str(node["dataset"])]
+    for key in ("root_path", "fail_if_incomplete", "min_dist_lidar_center",
+                "max_dist_lidar_center", "nclt_num_aggregated_pc",
+                "use_all_datasets"):
+        if key in node:
+            setattr(opts, key, node[key])
+    if "sequence_options" in node:
+        opts.sequence_options = list(node["sequence_options"])
+    return opts
+
+
+def yaml_to_dataset_options_vector(node_list: List[Dict]):
+    return [yaml_to_dataset_options(n) for n in node_list]
+
+
+@dataclasses.dataclass
+class RunnerConfig:
+    """Runner-level config (reference command/odometry_runner.h)."""
+
+    odometry_options: O.OdometryOptions = dataclasses.field(
+        default_factory=O.OdometryOptions)
+    dataset_options: List = dataclasses.field(default_factory=list)
+    output_dir: str = ".outputs"
+    output_results: bool = True
+    generate_directory_prefix: bool = True
+    progress_bar: bool = True
+    debug_information: bool = False
+    exit_early: bool = True
+    compute_metrics_period: int = 200
+    max_frames: int = -1
+    use_outdoor_evaluation: bool = True
+    save_mid_frame_trajectory: bool = True
+
+
+def load_runner_config(path: str) -> RunnerConfig:
+    with open(path) as f:
+        root = yaml.safe_load(f)
+    return runner_config_from_node(root)
+
+
+def runner_config_from_node(root: Dict) -> RunnerConfig:
+    cfg = RunnerConfig()
+    for key in ("output_dir", "output_results", "generate_directory_prefix",
+                "progress_bar", "debug_information", "exit_early",
+                "compute_metrics_period", "max_frames"):
+        if key in root:
+            setattr(cfg, key, root[key])
+    if "odometry_options" in root:
+        cfg.odometry_options = yaml_to_odometry_options(root["odometry_options"])
+    if "dataset_options" in root:
+        cfg.dataset_options = yaml_to_dataset_options_vector(
+            root["dataset_options"])
+    return cfg
+
+
+def read_odometry_options(path: str) -> O.OdometryOptions:
+    with open(path) as f:
+        return yaml_to_odometry_options(yaml.safe_load(f))
+
+
+# ----------------------------------------------------------- synthetic YAML —
+
+def synthetic_scene_from_node(node) -> "object":
+    """Parse a scene description: list of primitive dicts
+    (reference synthetic.h YAML (de)serialization)."""
+    from ct_icp_tpu.datasets import synthetic as syn
+    prims = []
+    for p in node:
+        ptype = str(p.get("type", "")).lower()
+        if ptype == "triangle":
+            prims.append(syn.Triangle(p["a"], p["b"], p["c"]))
+        elif ptype == "line":
+            prims.append(syn.Line(p["a"], p["b"]))
+        elif ptype == "sphere":
+            prims.append(syn.Sphere(p["center"], float(p["radius"])))
+        elif ptype == "ball":
+            prims.append(syn.Ball(p["center"], float(p["radius"])))
+        elif ptype == "rectangle":
+            prims.extend(syn.rectangle(p["corner"], p["edge_u"], p["edge_v"]))
+        elif ptype in ("box_room", "room"):
+            prims.extend(syn.box_room(float(p.get("half_extent", 10.0)),
+                                      float(p.get("height", 4.0))))
+        else:
+            raise ValueError(f"Unknown primitive type {ptype}")
+    return syn.Scene(prims)
+
+
+def synthetic_sequence_from_yaml(path: str):
+    """Build a SyntheticSequence dataset from a YAML scene+trajectory file."""
+    import numpy as np
+    from ct_icp_tpu.datasets import synthetic as syn
+    from ct_icp_tpu.datasets.dataset import SyntheticSequence
+    with open(path) as f:
+        root = yaml.safe_load(f)
+    scene = synthetic_scene_from_node(root.get("scene", []))
+    tnode = root.get("trajectory", {"type": "circle"})
+    ttype = str(tnode.get("type", "circle")).lower()
+    if ttype == "circle":
+        traj = syn.circular_trajectory(
+            radius=float(tnode.get("radius", 8.0)),
+            height=float(tnode.get("height", 1.5)),
+            num_poses=int(tnode.get("num_poses", 200)),
+            total_time=float(tnode.get("total_time", 10.0)),
+            angle_span=float(tnode.get("angle_span", 2 * np.pi)))
+    else:
+        raise ValueError(f"Unknown trajectory type {ttype}")
+    acq_node = root.get("acquisition", {})
+    opts = syn.SyntheticAcquisitionOptions(
+        num_points_per_frame=int(acq_node.get("num_points_per_frame", 20000)),
+        frame_duration=float(acq_node.get("frame_duration", 0.1)),
+        max_range=float(acq_node.get("max_range", 100.0)),
+        min_range=float(acq_node.get("min_range", 0.5)),
+        noise_sigma=float(acq_node.get("noise_sigma", 0.0)))
+    acq = syn.SyntheticSensorAcquisition(scene, traj, opts,
+                                         seed=int(root.get("seed", 0)))
+    return SyntheticSequence(acq)

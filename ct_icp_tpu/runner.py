@@ -1,0 +1,167 @@
+"""OdometryRunner — per-sequence odometry loop with metrics and outputs.
+
+Counterpart of the reference runner (reference command/odometry_runner.{h,cpp}):
+iterates every sequence of every configured dataset, feeds frames to the
+odometry, periodically computes KITTI metrics against ground truth, saves
+mid-frame interpolated poses and the CT trajectory, and writes
+``metrics.yaml`` per run (reference SaveTrajectoryAndMetrics,
+odometry_runner.cpp:318-365).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ct_icp_tpu.config.yaml_config import RunnerConfig
+from ct_icp_tpu.core.pose import Pose, TrajectoryFrame
+from ct_icp_tpu.core.trajectory import LinearContinuousTrajectory
+from ct_icp_tpu.datasets.dataset import (ADatasetSequence, Dataset,
+                                         is_driving_dataset)
+from ct_icp_tpu.evaluation import kitti as ev
+from ct_icp_tpu.io.ply import save_poses_as_ply
+from ct_icp_tpu.io.trajectory_io import (save_poses_kitti_format,
+                                         save_trajectory_frames)
+from ct_icp_tpu.odometry.odometry import Odometry
+
+
+@dataclasses.dataclass
+class SequenceResult:
+    name: str
+    num_frames: int = 0
+    finished: bool = False
+    success: bool = True
+    avg_runtime_ms: float = 0.0
+    metrics: Optional[ev.SeqErrors] = None
+
+
+def mid_frame_poses(trajectory: List[TrajectoryFrame]) -> List[Pose]:
+    """Mid-scan interpolated poses (reference odometry_runner.cpp:318-340)."""
+    out = []
+    for fr in trajectory:
+        p = fr.begin_pose.interpolate_alpha(fr.end_pose, 0.5)
+        p.timestamp = 0.5 * (fr.begin_pose.timestamp + fr.end_pose.timestamp)
+        out.append(p)
+    return out
+
+
+class OdometryRunner:
+    def __init__(self, config: RunnerConfig):
+        self.config = config
+        self.output_dir: Optional[Path] = None
+        if config.output_results:
+            base = Path(config.output_dir)
+            if config.generate_directory_prefix:
+                base = base / time.strftime("%Y-%m-%d_%H-%M-%S")
+            base.mkdir(parents=True, exist_ok=True)
+            self.output_dir = base
+        self.results: Dict[str, SequenceResult] = {}
+
+    def run(self) -> bool:
+        ok = True
+        for ds_options in self.config.dataset_options:
+            dataset = Dataset.load_dataset(ds_options)
+            driving = is_driving_dataset(ds_options.dataset)
+            seq_filters = {
+                s.get("sequence_name"): s for s in ds_options.sequence_options
+            } if ds_options.sequence_options else None
+            for seq in dataset.sequences:
+                name = seq.seq_info.sequence_name
+                if seq_filters is not None and name not in seq_filters:
+                    continue
+                if seq_filters and seq_filters.get(name):
+                    so = seq_filters[name]
+                    if "init_frame" in so:
+                        seq.set_init_frame(int(so["init_frame"]))
+                    if "max_num_frames" in so:
+                        seq.set_max_num_frames(int(so["max_num_frames"]))
+                result = self.run_sequence(seq, driving=driving)
+                self.results[name] = result
+                ok = ok and result.success
+                if not result.success and self.config.exit_early:
+                    return False
+        if self.output_dir is not None:
+            self._write_metrics_yaml()
+        return ok
+
+    def run_sequence(self, seq: ADatasetSequence, driving: bool = True,
+                     odometry: Optional[Odometry] = None) -> SequenceResult:
+        name = seq.seq_info.sequence_name
+        odo = odometry or Odometry(self.config.odometry_options)
+        result = SequenceResult(name=name)
+        if self.config.max_frames > 0:
+            seq.set_max_num_frames(self.config.max_frames)
+
+        runtimes = []
+        fid = 0
+        for frame in seq:
+            t0 = time.time()
+            summary = odo.register_frame(frame["xyz"], frame["timestamps"]
+                                         if frame.get("timestamps") is not None
+                                         else np.zeros(frame["xyz"].shape[0]),
+                                         frame_id=fid)
+            runtimes.append(time.time() - t0)
+            if not summary.success:
+                print(f"[{name}] frame {fid} FAILED: {summary.error_message}",
+                      file=sys.stderr)
+                result.success = False
+                if self.config.exit_early:
+                    break
+            fid += 1
+            if self.config.progress_bar and fid % 20 == 0:
+                avg = float(np.mean(runtimes[-20:])) * 1000
+                print(f"[{name}] frame {fid}  avg {avg:.1f} ms/frame",
+                      flush=True)
+            if (self.config.compute_metrics_period > 0
+                    and fid % self.config.compute_metrics_period == 0):
+                self._save_sequence_outputs(name, seq, odo, driving, result)
+
+        result.num_frames = fid
+        result.finished = not seq.has_next()
+        result.avg_runtime_ms = float(np.mean(runtimes)) * 1000 if runtimes else 0.0
+        self._save_sequence_outputs(name, seq, odo, driving, result)
+        return result
+
+    # ------------------------------------------------------------- outputs —
+    def _save_sequence_outputs(self, name, seq, odo: Odometry, driving,
+                               result: SequenceResult):
+        trajectory = odo.get_trajectory()
+        if not trajectory:
+            return
+        mids = mid_frame_poses(trajectory)
+        gt = seq.ground_truth()
+        if gt is not None and len(trajectory) > 1:
+            est_traj = LinearContinuousTrajectory(mids, check_sorted=True)
+            gt_slice = [p for p in gt if p.frame_id < len(trajectory)] \
+                if any(p.frame_id >= 0 for p in gt) else gt[:len(trajectory)]
+            if len(gt_slice) > 1:
+                try:
+                    result.metrics = ev.evaluate_continuous_trajectory(
+                        gt_slice, est_traj, driving)
+                    result.metrics.average_elapsed_ms = result.avg_runtime_ms
+                except Exception as e:  # metrics must never kill the run
+                    print(f"[{name}] metrics failed: {e}", file=sys.stderr)
+        if self.output_dir is None:
+            return
+        seq_dir = self.output_dir / name
+        seq_dir.mkdir(parents=True, exist_ok=True)
+        save_trajectory_frames(seq_dir / f"{name}_ct_trajectory.txt", trajectory)
+        save_poses_kitti_format(seq_dir / f"{name}.txt", mids)
+        save_poses_as_ply(seq_dir / "trajectory.ply",
+                          np.stack([p.tr for p in mids]))
+
+    def _write_metrics_yaml(self):
+        metrics = {name: r.metrics for name, r in self.results.items()
+                   if r.metrics is not None}
+        if not metrics:
+            return
+        text = ev.generate_metrics_yaml(metrics)
+        with open(self.output_dir / "metrics.yaml", "w") as f:
+            f.write(text)
+        print(f"Saved metrics to {self.output_dir / 'metrics.yaml'}")

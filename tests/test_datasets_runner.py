@@ -1,0 +1,163 @@
+"""Tests for the dataset layer (PLY directory, NCLT decode, synthetic
+sequence, KITTI filter/GT loaders) and the end-to-end OdometryRunner."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ct_icp_tpu.config.yaml_config import RunnerConfig
+from ct_icp_tpu.core.pose import Pose
+from ct_icp_tpu.datasets import dataset as D
+from ct_icp_tpu.datasets import synthetic as syn
+from ct_icp_tpu.io.ply import write_ply_xyzt
+from ct_icp_tpu.io.trajectory_io import save_poses_kitti_format
+
+
+class TestPLYDirectory:
+    def test_iterate_and_random_access(self, tmp_path):
+        rng = np.random.default_rng(0)
+        frames_dir = tmp_path / "frames"
+        frames_dir.mkdir()
+        for i in range(4):
+            xyz = rng.normal(size=(50, 3))
+            ts = np.linspace(i, i + 0.1, 50)
+            write_ply_xyzt(frames_dir / f"frame_{i:06d}.ply", xyz, ts)
+        seq = D.PLYDirectory(frames_dir)
+        assert seq.num_frames() == 4
+        assert seq.with_random_access()
+        frames = list(seq)
+        assert len(frames) == 4
+        assert frames[0]["xyz"].shape == (50, 3)
+        f2 = seq.get_frame(2)
+        assert abs(f2["timestamps"].min() - 2.0) < 1e-6
+
+    def test_init_and_max_frames(self, tmp_path):
+        frames_dir = tmp_path / "frames"
+        frames_dir.mkdir()
+        for i in range(6):
+            write_ply_xyzt(frames_dir / f"frame_{i:06d}.ply",
+                           np.zeros((5, 3)), np.full(5, float(i)))
+        seq = D.PLYDirectory(frames_dir)
+        seq.set_init_frame(2)
+        seq.set_max_num_frames(3)
+        frames = list(seq)
+        assert len(frames) == 3
+        assert frames[0]["timestamps"][0] == 2.0
+
+
+class TestKittiBits:
+    def test_frame_filter_drops_and_rotates(self):
+        xyz = np.array([[10.0, 0, 0], [0, 0, -6.0]])
+        out = D.kitti_frame_filter(xyz)
+        assert out.shape == (1, 3)
+        # rotated by 0.205 deg towards +z: z component now positive
+        assert out[0, 2] > 0
+        np.testing.assert_allclose(np.linalg.norm(out[0]), 10.0, rtol=1e-6)
+
+    def test_calib_selection(self):
+        assert np.allclose(D.kitti_calib(0), D.kitti_calib(2))
+        assert not np.allclose(D.kitti_calib(0), D.kitti_calib(3))
+        assert np.allclose(D.kitti_calib(4), D.kitti_calib(21))
+
+    def test_gt_loader_conjugation_and_timestamps(self, tmp_path):
+        seq_dir = tmp_path / "00"
+        seq_dir.mkdir()
+        poses = [Pose(tr=np.array([float(i), 0, 0])) for i in range(5)]
+        save_poses_kitti_format(seq_dir / "00.txt", poses)
+        gt = D.load_kitti_gt(seq_dir, "00", 0, D.DatasetEnum.KITTI_raw)
+        assert gt is not None and len(gt) == 5
+        # mid-scan timestamps (i+0.5)*0.1 (reference dataset.cpp:1040)
+        assert abs(gt[0].timestamp - 0.05) < 1e-9
+        assert abs(gt[4].timestamp - 0.45) < 1e-9
+        # conjugated: the pure-x camera translation maps into the lidar frame
+        assert gt[1].tr.shape == (3,)
+
+    def test_dataset_discovery(self, tmp_path):
+        seq_dir = tmp_path / "04" / "frames"
+        seq_dir.mkdir(parents=True)
+        write_ply_xyzt(seq_dir / "frame_000000.ply", np.zeros((3, 3)),
+                       np.zeros(3))
+        opts = D.DatasetOptions(dataset=D.DatasetEnum.KITTI_raw,
+                                root_path=str(tmp_path))
+        ds = D.Dataset.load_dataset(opts)
+        assert ds.has_sequence("04")
+        assert ds.sequence("04").seq_info.sequence_size == 270
+
+
+class TestNCLT:
+    def _write_hits(self, path, batches):
+        with open(path, "wb") as f:
+            for utime, pts in batches:
+                f.write(struct.pack("<4H", 44444, 44444, 44444, 44444))
+                f.write(struct.pack("<I", len(pts)))
+                f.write(struct.pack("<Q", utime))
+                f.write(struct.pack("<I", 0))
+                for p in pts:
+                    enc = ((np.asarray(p) + 100.0) / 0.005).astype(np.uint16)
+                    f.write(struct.pack("<3H2B", enc[0], enc[1], enc[2], 0, 0))
+
+    def test_decode(self, tmp_path):
+        root = tmp_path
+        d = root / "2012-01-08_vel" / "2012-01-08"
+        d.mkdir(parents=True)
+        batches = [(1000 + i, [[1.0, 2.0, 3.0], [-1.0, 0.5, 0.25]])
+                   for i in range(6)]
+        self._write_hits(d / "velodyne_hits.bin", batches)
+        seq = D.NCLTIterator(root, "2012-01-08", num_aggregated_pc=3)
+        f1 = seq.next_frame()
+        assert f1["xyz"].shape == (6, 3)
+        np.testing.assert_allclose(f1["xyz"][0], [1.0, 2.0, 3.0], atol=0.01)
+        assert f1["timestamps"][0] == 1000
+        f2 = seq.next_frame()
+        assert f2["timestamps"][0] == 1003
+
+    def test_nclt_gt_parsing(self, tmp_path):
+        csv = tmp_path / "gt.csv"
+        rows = ["%f,%f,%f,%f,%f,%f,%f" % (1000 + i, i * 1.0, 0, 0, 0, 0, 0.1 * i)
+                for i in range(4)]
+        csv.write_text("\n".join(rows))
+        poses = D.read_nclt_poses(csv)
+        assert len(poses) == 4
+        # relative to first pose
+        np.testing.assert_allclose(poses[0].tr, 0.0, atol=1e-12)
+
+
+class TestSyntheticSequence:
+    def test_sequence_api(self):
+        scene = syn.Scene(syn.box_room(8.0, 4.0))
+        traj = syn.circular_trajectory(radius=4.0, num_poses=50, total_time=1.0)
+        acq = syn.SyntheticSensorAcquisition(
+            scene, traj,
+            syn.SyntheticAcquisitionOptions(num_points_per_frame=500),
+            seed=1)
+        seq = D.SyntheticSequence(acq)
+        assert seq.num_frames() >= 9
+        f = seq.next_frame()
+        assert f["xyz"].shape[0] <= 500
+        assert f["begin_pose"] is not None
+        assert seq.ground_truth() is not None
+
+
+@pytest.mark.slow
+def test_runner_end_to_end_synthetic(tmp_path):
+    from tests.test_odometry import make_acquisition, small_options
+    from ct_icp_tpu.runner import OdometryRunner
+
+    acq = make_acquisition(seed=17)
+    seq = D.SyntheticSequence(acq)
+    seq.set_max_num_frames(10)
+    cfg = RunnerConfig(odometry_options=small_options(),
+                       output_dir=str(tmp_path / "out"),
+                       generate_directory_prefix=False,
+                       progress_bar=False,
+                       compute_metrics_period=0)
+    runner = OdometryRunner(cfg)
+    result = runner.run_sequence(seq, driving=False)
+    assert result.success
+    assert result.num_frames == 10
+    out = tmp_path / "out" / seq.seq_info.sequence_name
+    assert (out / f"{seq.seq_info.sequence_name}.txt").exists()
+    assert (out / "trajectory.ply").exists()
+    assert result.metrics is not None
+    assert result.metrics.mean_ape < 0.3
