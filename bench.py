@@ -1,0 +1,108 @@
+"""Benchmark: steady-state odometry throughput on a synthetic driving scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+Baseline: the reference's driving-sequence regression runtimes on CPU,
+0.076-0.095 s/frame (BASELINE.md; test/regression/regression_config_short_drive.yaml)
+-> midpoint 0.0855 s/frame = 11.7 frames/s. ``vs_baseline`` is the speedup
+over that midpoint.
+
+The workload mirrors a KITTI-like driving frame: ~100k-point scans rendered
+from a synthetic urban corridor, driving-profile odometry options (CERES-path
+solver semantics, grid keypoints, multi-resolution map).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FRAMES_PER_SEC = 1.0 / 0.0855
+
+
+def build_scene():
+    from ct_icp_tpu.datasets import synthetic as syn
+
+    prims = []
+    # a 400 m urban corridor: ground + two building walls with openings
+    for x0 in range(-20, 400, 40):
+        prims += syn.rectangle([x0, -12, 0], [36, 0, 0], [0, 0, 8])
+        prims += syn.rectangle([x0 + 2, 10, 0], [36, 0, 0], [0, 0, 8])
+    prims += syn.rectangle([-20, -15, 0], [440, 0, 0], [0, 30, 0])  # ground
+    # some parked obstacles
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        c = np.array([rng.uniform(0, 380), rng.uniform(-8, 8), 1.0])
+        prims.append(syn.Ball(c, 0.8))
+    return syn.Scene(prims)
+
+
+def straight_trajectory(num_poses, total_time, speed=10.0):
+    from ct_icp_tpu.core import se3_np as s3n
+    from ct_icp_tpu.core.pose import Pose
+    from ct_icp_tpu.core.trajectory import LinearContinuousTrajectory
+
+    poses = []
+    for i in range(num_poses):
+        s = i / (num_poses - 1)
+        t = s * total_time
+        x = speed * t
+        yaw = 0.08 * np.sin(0.5 * t)
+        q = s3n.quat_from_rotvec(np.array([0.0, 0.0, yaw]))
+        poses.append(Pose(q, np.array([x, 0.3 * np.sin(0.2 * t), 1.7]),
+                          timestamp=t))
+    return LinearContinuousTrajectory(poses)
+
+
+def main():
+    from ct_icp_tpu.config.options import default_driving_profile
+    from ct_icp_tpu.datasets import synthetic as syn
+    from ct_icp_tpu.odometry.odometry import Odometry
+
+    num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    warmup = 8
+
+    scene = build_scene()
+    traj = straight_trajectory(400, num_frames * 0.1 + 0.5)
+    acq = syn.SyntheticSensorAcquisition(
+        scene, traj,
+        syn.SyntheticAcquisitionOptions(
+            num_points_per_frame=100_000, frame_duration=0.1,
+            max_range=100.0, min_range=2.0, noise_sigma=0.01),
+        seed=3)
+
+    # pre-render frames so host-side scene sampling isn't measured
+    frames = [acq.frame(i) for i in range(min(num_frames, acq.num_frames()))]
+
+    odo = Odometry(default_driving_profile())
+
+    times = []
+    failures = 0
+    for i, fr in enumerate(frames):
+        t0 = time.time()
+        summary = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        dt = time.time() - t0
+        if i >= warmup:
+            times.append(dt)
+        if not summary.success:
+            failures += 1
+
+    sec_per_frame = float(np.mean(times)) if times else float("inf")
+    fps = 1.0 / sec_per_frame
+    result = {
+        "metric": "synthetic_driving_odometry_throughput",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 3),
+        "sec_per_frame": round(sec_per_frame, 4),
+        "frames": len(times),
+        "failures": failures,
+        "map_points": odo.map_size(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

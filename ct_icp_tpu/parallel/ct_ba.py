@@ -1,0 +1,232 @@
+"""Distributed continuous-time bundle adjustment over a TPU mesh.
+
+The scale-out capability the CPU reference does not have (SURVEY.md §2.4 P5,
+BASELINE.json north star): refine a window of keyframe trajectories jointly
+against map correspondences, with the keyframe axis sharded across devices.
+
+Problem: per keyframe f, the 12-DoF continuous-time state (begin, end pose);
+residuals
+  * point-to-plane terms: every point of keyframe f touches ONLY f's pose pair
+    (the per-point alpha-timestamp structure survives sharding, SURVEY.md §5),
+  * continuity terms between consecutive keyframes: end(f) ~ begin(f+1)
+    (position+orientation), coupling only neighbors.
+
+Parallel decomposition (shard_map over mesh axis "frames"):
+  * per-frame Jacobian blocks + gradients are embarrassingly parallel,
+  * continuity terms at shard boundaries use a ppermute halo exchange of the
+    neighbor keyframe's boundary pose,
+  * the solve is damped block-Jacobi (one 12x12 solve per keyframe, coupling
+    terms evaluated at the current neighbor estimate) — a fixed number of
+    outer iterations, each one a pure SPMD step with only O(1)-sized
+    collectives (halo + psum of the scalar cost).
+
+All shapes static: [F, K, 3] points with masks; F divides the mesh axis.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ct_icp_tpu.core import se3 as s3
+from ct_icp_tpu.icp import residuals as res
+
+
+class CTBAProblem(NamedTuple):
+    """Fixed associations for one refinement pass (frames axis shardable)."""
+
+    raw: jnp.ndarray        # [F, K, 3] sensor-frame points
+    alphas: jnp.ndarray     # [F, K]
+    anchors: jnp.ndarray    # [F, K, 3] map anchor points
+    normals: jnp.ndarray    # [F, K, 3]
+    weights: jnp.ndarray    # [F, K] (0 disables a residual)
+
+
+class CTBAState(NamedTuple):
+    quat_begin: jnp.ndarray  # [F, 4]
+    tr_begin: jnp.ndarray    # [F, 3]
+    quat_end: jnp.ndarray    # [F, 4]
+    tr_end: jnp.ndarray      # [F, 3]
+
+
+def _frame_residuals(delta, qb, tb, qe, te, raw, alphas, anchors, normals,
+                     weights):
+    """Point-to-plane residual vector [K] of one keyframe under a 12-DoF
+    perturbation."""
+    qb2, tb2, qe2, te2 = res.apply_delta(delta, qb, tb, qe, te)
+    world = res.interp_world_points(qb2, tb2, qe2, te2, raw, alphas)
+    r = jnp.sum((world - anchors) * normals, axis=-1)
+    return weights * r
+
+
+def _continuity_residuals(delta, qb, tb, qe, te, q_prev_end, t_prev_end,
+                          q_next_begin, t_next_begin, w_prev, w_next, beta):
+    """Continuity rows of one keyframe against its (fixed) neighbors:
+    begin(f) ~ end(f-1) and end(f) ~ begin(f+1), position + quaternion dot."""
+    qb2, tb2, qe2, te2 = res.apply_delta(delta, qb, tb, qe, te)
+    r_pos_prev = beta * w_prev * (tb2 - t_prev_end)
+    dq_prev = jnp.sum(s3.quat_normalize(qb2) * q_prev_end, axis=-1)
+    r_rot_prev = (beta * w_prev * (1.0 - dq_prev * dq_prev))[None]
+    r_pos_next = beta * w_next * (te2 - t_next_begin)
+    dq_next = jnp.sum(s3.quat_normalize(qe2) * q_next_begin, axis=-1)
+    r_rot_next = (beta * w_next * (1.0 - dq_next * dq_next))[None]
+    return jnp.concatenate([r_pos_prev, r_rot_prev, r_pos_next, r_rot_next])
+
+
+def _frame_gn_update(qb, tb, qe, te, raw, alphas, anchors, normals, weights,
+                     q_prev_end, t_prev_end, q_next_begin, t_next_begin,
+                     w_prev, w_next, beta, damping):
+    """One damped block-GN update for a single keyframe."""
+    zero = jnp.zeros((12,), raw.dtype)
+
+    def rfun(d):
+        rp = _frame_residuals(d, qb, tb, qe, te, raw, alphas, anchors,
+                              normals, weights)
+        rc = _continuity_residuals(d, qb, tb, qe, te, q_prev_end, t_prev_end,
+                                   q_next_begin, t_next_begin, w_prev, w_next,
+                                   beta)
+        return jnp.concatenate([rp, rc])
+
+    r0 = rfun(zero)
+    jac = jax.jacfwd(rfun)(zero)
+    jtj = jac.T @ jac
+    jtr = jac.T @ r0
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(jtj), 1e-12))
+    a = jtj / (d[:, None] * d[None, :]) + damping * jnp.eye(12, dtype=raw.dtype)
+    delta = jnp.linalg.solve(a, -jtr / d) / d
+    nqb, ntb, nqe, nte = res.apply_delta(delta, qb, tb, qe, te)
+    cost = jnp.sum(r0 * r0)
+    return nqb, ntb, nqe, nte, cost
+
+
+def make_ct_ba_step(mesh: Mesh, axis_name: str = "frames",
+                    num_inner_iters: int = 2, beta: float = 1.0,
+                    damping: float = 1e-3):
+    """Build the SPMD CT-BA step over ``mesh``.
+
+    Returns step(state, problem) -> (state, total_cost); both state and
+    problem are sharded over the keyframe axis.
+    """
+
+    nshards = mesh.shape[axis_name]
+    fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+    bwd = [((i + 1) % nshards, i) for i in range(nshards)]
+
+    def local_step(state: CTBAState, problem: CTBAProblem):
+        qb, tb, qe, te = state
+
+        def one_iter(_, carry):
+            qb, tb, qe, te, _ = carry
+            # halo exchange: previous frame's end pose, next frame's begin pose
+
+            # within-shard neighbors + cross-shard boundary via ppermute
+            last_qe = jax.lax.ppermute(qe[-1], axis_name, fwd)
+            last_te = jax.lax.ppermute(te[-1], axis_name, fwd)
+            first_qb = jax.lax.ppermute(qb[0], axis_name, bwd)
+            first_tb = jax.lax.ppermute(tb[0], axis_name, bwd)
+
+            q_prev_end = jnp.concatenate([last_qe[None], qe[:-1]], axis=0)
+            t_prev_end = jnp.concatenate([last_te[None], te[:-1]], axis=0)
+            q_next_begin = jnp.concatenate([qb[1:], first_qb[None]], axis=0)
+            t_next_begin = jnp.concatenate([tb[1:], first_tb[None]], axis=0)
+
+            f = qb.shape[0]
+            shard_id = jax.lax.axis_index(axis_name)
+            is_first = shard_id == 0
+            is_last = shard_id == nshards - 1
+            idx = jnp.arange(f)
+            # no continuity before the global first / after the global last;
+            # the global first keyframe is gauge-fixed by a strong prior to
+            # its current value (w_prev acts as that anchor weight)
+            w_prev = jnp.where((idx == 0) & is_first, 0.0, 1.0)
+            w_next = jnp.where((idx == f - 1) & is_last, 0.0, 1.0)
+
+            upd = jax.vmap(
+                functools.partial(_frame_gn_update, beta=beta, damping=damping))
+            nqb, ntb, nqe, nte, costs = upd(
+                qb, tb, qe, te, problem.raw, problem.alphas, problem.anchors,
+                problem.normals, problem.weights, q_prev_end, t_prev_end,
+                q_next_begin, t_next_begin, w_prev, w_next)
+            total = jax.lax.psum(jnp.sum(costs), axis_name)
+            return nqb, ntb, nqe, nte, total
+
+        qb, tb, qe, te, cost = jax.lax.fori_loop(
+            0, num_inner_iters, one_iter,
+            (qb, tb, qe, te, jnp.asarray(0.0, qb.dtype)))
+        return CTBAState(qb, tb, qe, te), cost
+
+    spec_state = CTBAState(P(axis_name), P(axis_name), P(axis_name),
+                           P(axis_name))
+    spec_problem = CTBAProblem(P(axis_name), P(axis_name), P(axis_name),
+                               P(axis_name), P(axis_name))
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec_state, spec_problem),
+        out_specs=(spec_state, P())))
+    return step
+
+
+def shard_problem(mesh: Mesh, state: CTBAState, problem: CTBAProblem,
+                  axis_name: str = "frames"):
+    """Device_put state/problem with the keyframe axis sharded over the mesh."""
+    sh = NamedSharding(mesh, P(axis_name))
+    state = CTBAState(*(jax.device_put(x, sh) for x in state))
+    problem = CTBAProblem(*(jax.device_put(x, sh) for x in problem))
+    return state, problem
+
+
+def build_synthetic_problem(rng, num_frames: int, num_points: int,
+                            noise: float = 0.01):
+    """A synthetic CT-BA problem for tests/dry runs: random plane anchors,
+    ground-truth smooth trajectory, initial state perturbed."""
+    import numpy as np
+    from ct_icp_tpu.core import se3_np as s3n
+
+    t = np.linspace(0, 1, num_frames + 1)
+    gt_tr = np.stack([5 * t, 2 * np.sin(t * 2), 0.1 * t], axis=-1)
+    yaw = 0.3 * t
+    gt_q = s3n.quat_from_rotvec(
+        np.stack([np.zeros_like(yaw), np.zeros_like(yaw), yaw], -1))
+
+    raw = rng.uniform(-10, 10, (num_frames, num_points, 3))
+    alphas = rng.uniform(0, 1, (num_frames, num_points))
+    normals = rng.normal(size=(num_frames, num_points, 3))
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+
+    # world point under GT interpolated pose -> anchor on the residual plane
+    anchors = np.zeros_like(raw)
+    for f in range(num_frames):
+        q0 = np.broadcast_to(gt_q[f], (num_points, 4))
+        q1 = np.broadcast_to(gt_q[f + 1], (num_points, 4))
+        t0 = np.broadcast_to(gt_tr[f], (num_points, 3))
+        t1 = np.broadcast_to(gt_tr[f + 1], (num_points, 3))
+        qi, ti = s3n.se3_interpolate(q0, t0, q1, t1, alphas[f])
+        anchors[f] = s3n.quat_rotate(qi, raw[f]) + ti
+
+    state = CTBAState(
+        quat_begin=jnp.asarray(np.stack(
+            [s3n.quat_mul(s3n.quat_from_rotvec(
+                rng.normal(scale=noise, size=3)), gt_q[f])
+             for f in range(num_frames)]), jnp.float32),
+        tr_begin=jnp.asarray(
+            gt_tr[:-1] + rng.normal(scale=noise, size=(num_frames, 3)),
+            jnp.float32),
+        quat_end=jnp.asarray(np.stack(
+            [s3n.quat_mul(s3n.quat_from_rotvec(
+                rng.normal(scale=noise, size=3)), gt_q[f + 1])
+             for f in range(num_frames)]), jnp.float32),
+        tr_end=jnp.asarray(
+            gt_tr[1:] + rng.normal(scale=noise, size=(num_frames, 3)),
+            jnp.float32),
+    )
+    problem = CTBAProblem(
+        raw=jnp.asarray(raw, jnp.float32),
+        alphas=jnp.asarray(alphas, jnp.float32),
+        anchors=jnp.asarray(anchors, jnp.float32),
+        normals=jnp.asarray(normals, jnp.float32),
+        weights=jnp.ones((num_frames, num_points), jnp.float32),
+    )
+    gt = (jnp.asarray(gt_q, jnp.float32), jnp.asarray(gt_tr, jnp.float32))
+    return state, problem, gt

@@ -1,0 +1,58 @@
+"""Tests for distributed continuous-time bundle adjustment (8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ct_icp_tpu.core import se3_np as s3n
+from ct_icp_tpu.parallel import ct_ba
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    return Mesh(devices, ("frames",))
+
+
+def test_ct_ba_converges_to_gt(mesh):
+    rng = np.random.default_rng(0)
+    num_frames, num_points = 16, 256
+    state, problem, (gt_q, gt_tr) = ct_ba.build_synthetic_problem(
+        rng, num_frames, num_points, noise=0.02)
+    step = ct_ba.make_ct_ba_step(mesh, num_inner_iters=3)
+    state, problem = ct_ba.shard_problem(mesh, state, problem)
+
+    _, cost0 = step(state, problem)
+    for _ in range(4):
+        state, cost = step(state, problem)
+    assert float(cost) < float(cost0) * 1e-2, (float(cost0), float(cost))
+
+    # end poses should match GT (frame f end pose == gt pose f+1)
+    te = np.asarray(state.tr_end)
+    qe = np.asarray(state.quat_end)
+    err_t = np.linalg.norm(te - np.asarray(gt_tr)[1:], axis=-1)
+    assert err_t.max() < 0.01, err_t
+    dots = np.abs(np.sum(s3n.quat_normalize(qe.astype(np.float64))
+                         * np.asarray(gt_q)[1:], axis=-1))
+    assert np.all(dots > 1.0 - 1e-5)
+
+
+def test_ct_ba_sharding_invariance(mesh):
+    # the same problem on a 1-shard mesh gives (nearly) the same answer
+    rng = np.random.default_rng(5)
+    state, problem, _ = ct_ba.build_synthetic_problem(rng, 16, 128, noise=0.01)
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("frames",))
+
+    step8 = ct_ba.make_ct_ba_step(mesh, num_inner_iters=2)
+    step1 = ct_ba.make_ct_ba_step(mesh1, num_inner_iters=2)
+
+    s8, p8 = ct_ba.shard_problem(mesh, state, problem)
+    s1, p1 = ct_ba.shard_problem(mesh1, state, problem)
+    out8, c8 = step8(s8, p8)
+    out1, c1 = step1(s1, p1)
+    np.testing.assert_allclose(np.asarray(out8.tr_end),
+                               np.asarray(out1.tr_end), atol=1e-4)
+    np.testing.assert_allclose(float(c8), float(c1), rtol=1e-4)
