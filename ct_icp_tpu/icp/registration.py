@@ -103,6 +103,9 @@ class CTICPRegistration:
             parametrization=options.parametrization,
             num_closest_neighbors=options.num_closest_neighbors,
             use_normal_filter=False,
+            use_barycenter=options.use_barycenter,
+            use_lines=options.use_lines,
+            use_distribution=options.use_distribution,
         )
         self._fn = slv.jitted_register_fn(self.statics)
 

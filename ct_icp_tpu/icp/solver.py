@@ -63,10 +63,10 @@ class SolverStatics:
     parametrization: PoseParametrization = PoseParametrization.CONTINUOUS_TIME
     num_closest_neighbors: int = 1
     use_normal_filter: bool = False
-    beta_location_consistency_on: bool = True
-    beta_orientation_consistency_on: bool = False
-    beta_constant_velocity_on: bool = True
-    beta_small_velocity_on: bool = False
+    # ROBUST solver statics (reference ct_icp.h:139-141)
+    use_barycenter: bool = False
+    use_lines: bool = True
+    use_distribution: bool = True
 
 
 class SolverDynamics(NamedTuple):
@@ -87,6 +87,11 @@ class SolverDynamics(NamedTuple):
     weight_neighborhood: jnp.ndarray
     threshold_voxel_occupancy: jnp.ndarray
     max_num_residuals: jnp.ndarray           # <=0 disables the cap
+    # ROBUST solver params (reference ct_icp.h:134-141)
+    threshold_linearity: jnp.ndarray
+    threshold_planarity: jnp.ndarray
+    weight_point_to_point: jnp.ndarray
+    outlier_distance: jnp.ndarray
 
 
 def make_dynamics(opts: CTICPOptions, search_radius, voxel_resolution
@@ -109,6 +114,10 @@ def make_dynamics(opts: CTICPOptions, search_radius, voxel_resolution
         weight_neighborhood=f(opts.weight_neighborhood),
         threshold_voxel_occupancy=i(opts.threshold_voxel_occupancy),
         max_num_residuals=i(opts.max_num_residuals),
+        threshold_linearity=f(opts.threshold_linearity),
+        threshold_planarity=f(opts.threshold_planarity),
+        weight_point_to_point=f(opts.weight_point_to_point),
+        outlier_distance=f(opts.outlier_distance),
     )
 
 
@@ -159,8 +168,39 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
         dist_to_plane = jnp.abs(jnp.sum((world - closest) * desc.normal, axis=-1))
         ok = ok & (dist_to_plane < dyn.max_dist_to_plane)
 
+    anchors = closest
+    cls = None
+    if statics.solver == Solver.ROBUST:
+        # reference DoRegisterRobust (ct_icp.cpp:1227-1290): classify each
+        # neighborhood, pick the distance type and weight per point, gate
+        # outliers by the distance to the association.
+        planar = desc.planarity > dyn.threshold_planarity
+        linear = ~planar & (desc.linearity > dyn.threshold_linearity)
+        if not statics.use_lines:
+            # reclassify LINEAR (ct_icp.cpp:1243-1248)
+            planar = planar | (linear & (desc.planarity > dyn.threshold_planarity))
+            linear = jnp.zeros_like(linear)
+        cls = jnp.where(planar, 1, jnp.where(linear, 2, 0))
+        geom_w = jnp.where(
+            planar, jnp.power(jnp.abs(desc.planarity), dyn.power_planarity),
+            jnp.where(linear,
+                      jnp.power(jnp.abs(desc.linearity), dyn.power_planarity),
+                      jnp.where(jnp.asarray(statics.use_distribution),
+                                dyn.weight_neighborhood,
+                                dyn.weight_point_to_point)))
+        anchors = desc.barycenter if statics.use_barycenter else closest
+        diff = anchors - world
+        line_n = desc.line / jnp.maximum(
+            jnp.linalg.norm(desc.line, axis=-1, keepdims=True), 1e-12)
+        d_line = jnp.linalg.norm(jnp.cross(diff, line_n), axis=-1)
+        d_plane = jnp.abs(jnp.sum(diff * desc.normal, axis=-1))
+        d_other = jnp.linalg.norm(diff, axis=-1)
+        dist = jnp.where(planar, d_plane, jnp.where(linear, d_line, d_other))
+        ok = ok & (dist < dyn.outlier_distance)
+
     cov_inv = None
-    if statics.distance == IcpDistance.POINT_TO_DISTRIBUTION:
+    if (statics.distance == IcpDistance.POINT_TO_DISTRIBUTION
+            or (statics.solver == Solver.ROBUST and statics.use_distribution)):
         eps = 0.05  # FunctorPointToDistribution epsilon (cost_functions.h:180)
         cov_inv = jnp.linalg.inv(
             desc.covariance + eps * jnp.eye(3, dtype=raw.dtype))
@@ -171,36 +211,61 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
         dyn.max_num_residuals > 0, dyn.max_num_residuals, jnp.int32(1 << 30))
     ok = ok & capped
 
-    anchors = closest
-    return anchors, desc.normal, desc.line, cov_inv, geom_w, ok
+    return anchors, desc.normal, desc.line, cov_inv, geom_w, ok, cls
 
 
 def _residual_vector(statics, dyn, delta, raw, alphas, anchors, normals, lines,
-                     cov_inv, geom_w, ok, qb, tb, qe, te, prior, n_res):
+                     cov_inv, geom_w, ok, cls, qb, tb, qe, te, prior, n_res):
     """Full residual vector [(K*R + 10)] of a 12-DoF perturbation."""
     qb2, tb2, qe2, te2 = res.apply_delta(delta, qb, tb, qe, te)
     world = res.interp_world_points(qb2, tb2, qe2, te2, raw, alphas)
-    geo = res.geometric_residuals(
-        statics.distance, world, anchors, normals, lines, cov_inv, geom_w)
+    if statics.solver == Solver.ROBUST:
+        # mixed residual types by neighborhood class: rows [K, 3] with the
+        # scalar distances in row 0 (plane/line/distribution) or a full
+        # 3-vector (point-to-point when use_distribution is off)
+        r_plane = res.geometric_residuals(
+            IcpDistance.POINT_TO_PLANE, world, anchors, normals, lines,
+            cov_inv, geom_w)[:, 0]
+        r_line = res.geometric_residuals(
+            IcpDistance.POINT_TO_LINE, world, anchors, normals, lines,
+            cov_inv, geom_w)[:, 0]
+        if statics.use_distribution:
+            r_other3 = jnp.stack(
+                [res.geometric_residuals(
+                    IcpDistance.POINT_TO_DISTRIBUTION, world, anchors,
+                    normals, lines, cov_inv, geom_w)[:, 0],
+                 jnp.zeros_like(r_plane), jnp.zeros_like(r_plane)], axis=-1)
+        else:
+            r_other3 = res.geometric_residuals(
+                IcpDistance.POINT_TO_POINT, world, anchors, normals, lines,
+                cov_inv, geom_w)
+        scalar = jnp.where(cls == 1, r_plane, r_line)
+        r_scalar3 = jnp.stack(
+            [scalar, jnp.zeros_like(scalar), jnp.zeros_like(scalar)], axis=-1)
+        geo = jnp.where((cls > 0)[:, None], r_scalar3, r_other3)
+    else:
+        geo = res.geometric_residuals(
+            statics.distance, world, anchors, normals, lines, cov_inv, geom_w)
     geo = jnp.where(ok[:, None], geo, 0.0).reshape(-1)
     pri = res.motion_prior_residuals(qb2, tb2, qe2, te2, prior, n_res)
     return jnp.concatenate([geo, pri])
 
 
 def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
-                   geom_w, ok, qb, tb, qe, te, prior):
+                   geom_w, ok, cls, qb, tb, qe, te, prior):
     """ceres::Solve replacement: <= ls_max_num_iters damped-GN steps with
     IRLS robust weights and accept/reject damping adaptation."""
     k = statics.num_keypoints
     n_res = jnp.sum(ok.astype(jnp.int32))
-    nrows = k * (3 if statics.distance == IcpDistance.POINT_TO_POINT else 1)
+    nrows = k * (3 if (statics.distance == IcpDistance.POINT_TO_POINT
+                       or statics.solver == Solver.ROBUST) else 1)
 
     def point_rows(vec):
         return vec[:nrows], vec[nrows:]
 
     def total_cost(delta, q0, t0, q1, t1):
         r = _residual_vector(statics, dyn, delta, raw, alphas, anchors,
-                             normals, lines, cov_inv, geom_w, ok,
+                             normals, lines, cov_inv, geom_w, ok, cls,
                              q0, t0, q1, t1, prior, n_res)
         pr, prior_r = point_rows(r)
         c_pts = jnp.sum(res.robust_cost(statics.loss, pr * pr, dyn.ls_sigma,
@@ -214,7 +279,7 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
 
         def rfun(d):
             return _residual_vector(statics, dyn, d, raw, alphas, anchors,
-                                    normals, lines, cov_inv, geom_w, ok,
+                                    normals, lines, cov_inv, geom_w, ok, cls,
                                     q0, t0, q1, t1, prior, n_res)
 
         r0 = rfun(zero)
@@ -280,12 +345,12 @@ def build_register_fn(statics: SolverStatics):
 
         def body(carry):
             it, cqb, ctb, cqe, cte, _, _, _, _, _ = carry
-            anchors, normals, lines, cov_inv, geom_w, ok = _build_problem(
+            anchors, normals, lines, cov_inv, geom_w, ok, cls = _build_problem(
                 statics, dyn, level, raw, alphas, valid, cqb, ctb, cqe, cte,
                 sensor_location)
             nqb, ntb, nqe, nte, cost, n_res = _lm_inner_loop(
                 statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
-                geom_w, ok, cqb, ctb, cqe, cte, prior)
+                geom_w, ok, cls, cqb, ctb, cqe, cte, prior)
             # not enough residuals: freeze the state, fail the problem
             enough = n_res >= dyn.min_number_neighbors
             nqb = jnp.where(enough, nqb, cqb)

@@ -168,3 +168,57 @@ def test_failure_on_empty_map():
     init = TrajectoryFrame(Pose(timestamp=0.0), Pose(timestamp=1.0))
     summary = reg.register(empty, raw, np.linspace(0, 1, 100), init)
     assert not summary.success
+
+
+def test_robust_solver_classified_residuals(room):
+    """ROBUST solver (reference DoRegisterRobust, ct_icp.cpp:1180-1370):
+    classify neighborhoods, mixed residual types, outlier gating."""
+    from ct_icp_tpu.config.options import Solver
+    rng = np.random.default_rng(31)
+    gt = _gt_frame()
+    raw, ts = render_scan(rng, 800, gt)
+    opts = CTICPOptions(num_iters_icp=15, ls_max_num_iters=5,
+                        solver=Solver.ROBUST,
+                        min_number_neighbors=10,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024)
+    init = TrajectoryFrame(Pose(timestamp=0.0), Pose(timestamp=1.0))
+    summary = reg.register(room, raw, ts, init)
+    assert summary.success
+    assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.03
+    assert init.end_pose.angular_distance(gt.end_pose) < 0.2
+
+
+def test_gn_solver(room):
+    from ct_icp_tpu.config.options import Solver
+    rng = np.random.default_rng(41)
+    gt = _gt_frame()
+    raw, ts = render_scan(rng, 800, gt)
+    opts = CTICPOptions(num_iters_icp=20, ls_max_num_iters=1,
+                        solver=Solver.GN, min_number_neighbors=10,
+                        max_dist_to_plane_ct_icp=1.0,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024)
+    init = TrajectoryFrame(Pose(timestamp=0.0), Pose(timestamp=1.0))
+    summary = reg.register(room, raw, ts, init)
+    assert summary.success
+    assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.03
+
+
+def test_point_to_distribution_distance(room):
+    from ct_icp_tpu.config.options import IcpDistance
+    rng = np.random.default_rng(51)
+    gt = _gt_frame()
+    raw, ts = render_scan(rng, 800, gt)
+    opts = CTICPOptions(num_iters_icp=15, ls_max_num_iters=5,
+                        distance=IcpDistance.POINT_TO_DISTRIBUTION,
+                        min_number_neighbors=10,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024)
+    init = TrajectoryFrame(Pose(timestamp=0.0), Pose(timestamp=1.0))
+    summary = reg.register(room, raw, ts, init)
+    assert summary.success
+    assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.05
