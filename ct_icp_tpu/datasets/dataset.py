@@ -378,6 +378,14 @@ class NCLTIterator(ADatasetSequence):
         self._file = open(path, "rb")
         self._eof = False
         self.gt_trajectory: Optional[LinearContinuousTrajectory] = None
+        # native streaming decoder when the C++ layer is available
+        self._native = None
+        try:
+            from ct_icp_tpu.io.native import NcltNativeReader, available
+            if available():
+                self._native = NcltNativeReader(path)
+        except Exception:
+            self._native = None
 
     def set_ground_truth(self, poses: Sequence[Pose]):
         self.gt_trajectory = LinearContinuousTrajectory(poses)
@@ -401,6 +409,10 @@ class NCLTIterator(ADatasetSequence):
     def set_init_frame(self, frame_index: int):
         self.init_frame_id = frame_index
         self._file.seek(0)
+        if self._native is not None:
+            self._native.close()
+            from ct_icp_tpu.io.native import NcltNativeReader
+            self._native = NcltNativeReader(self._path)
         self._eof = False
         self.current_frame_id = 0
         for _ in range(frame_index):
@@ -433,6 +445,19 @@ class NCLTIterator(ADatasetSequence):
         return xyz, utime
 
     def _read_frame(self, skip: bool = False) -> Optional[Dict]:
+        if self._native is not None:
+            out = self._native.read(self.num_aggregated_pc, skip=skip)
+            self.current_frame_id += 1
+            if out is None:
+                self._eof = True
+                return None
+            if skip:
+                return None
+            xyz, ts = out
+            if xyz.shape[0] == 0:
+                self._eof = True
+                return None
+            return self._finish_frame(xyz, ts)
         parts, times = [], []
         for _ in range(self.num_aggregated_pc):
             if self._eof:
@@ -448,6 +473,9 @@ class NCLTIterator(ADatasetSequence):
             return None
         xyz = np.concatenate(parts)
         ts = np.concatenate(times)
+        return self._finish_frame(xyz, ts)
+
+    def _finish_frame(self, xyz, ts) -> Dict:
         frame = {"xyz": xyz, "timestamps": ts,
                  "begin_pose": None, "end_pose": None}
         if self.gt_trajectory is not None:

@@ -103,7 +103,16 @@ def read_ply(path) -> Dict[str, np.ndarray]:
 def read_ply_xyzt(path, xyz_names=("x", "y", "z"),
                   time_names=("timestamp", "t", "time", "scalar_timestamp")
                   ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Read xyz (+timestamps if present) from a PLY file."""
+    """Read xyz (+timestamps if present) from a PLY file.
+
+    Uses the native decoder (io/native.py) when available; falls back to the
+    pure-Python parser for ascii/exotic files.
+    """
+    if xyz_names == ("x", "y", "z"):
+        from ct_icp_tpu.io import native
+        out = native.ply_read_xyzt(path) if native.available() else None
+        if out is not None:
+            return out
     cols = read_ply(path)
     missing = [n for n in xyz_names if n not in cols]
     if missing:
