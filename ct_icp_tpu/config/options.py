@@ -332,9 +332,31 @@ class OdometryOptions:
 
 
 def default_driving_profile() -> OdometryOptions:
-    """Reference OdometryOptions::DefaultDrivingProfile (odometry.cpp:30-36)."""
+    """The driving configuration the reference ships and benchmarks with
+    (config/odometry/driving_config.yaml): a single 0.8 m map resolution with
+    radius-0.75 searches, 900-residual cap, 5 LM steps per ICP iteration.
+
+    (OdometryOptions::DefaultDrivingProfile, odometry.cpp:30-36, only sets
+    solver/iters on top of the C++ defaults — the shipped YAML is the
+    configuration behind the regression baselines.)
+    """
     return OdometryOptions(
-        ct_icp_options=CTICPOptions(solver=Solver.CERES, num_iters_icp=5))
+        map_options=MultiResolutionVoxelMapOptions(
+            resolutions=(ResolutionParam(0.8, 0.1, 30, 18),),
+            default_radius=0.75),
+        neighborhood_strategy=NearestNeighborStrategyOptions(
+            max_num_neighbors=20, min_num_neighbors=10),
+        ct_icp_options=CTICPOptions(
+            solver=Solver.CERES,
+            num_iters_icp=5,
+            max_num_residuals=900,
+            min_num_residuals=100,
+            threshold_orientation_norm=0.1,
+            threshold_translation_norm=0.01,
+            loss_function=LeastSquares.CAUCHY,
+            ls_max_num_iters=5,
+            ls_sigma=0.1,
+        ))
 
 
 def robust_driving_profile() -> OdometryOptions:

@@ -43,34 +43,24 @@ class ICPSummary:
 
 
 def make_prior(previous_frame: Optional[TrajectoryFrame], motion_options,
-               origin: np.ndarray):
-    """Device prior pytree from the previous trajectory frame
-    (reference PreviousFrameMotionModel, motion_model.cpp:12-61)."""
+               origin: np.ndarray) -> np.ndarray:
+    """Packed [14] prior vector from the previous trajectory frame
+    (reference PreviousFrameMotionModel, motion_model.cpp:12-61):
+    [prev_end_quat(4), prev_end_tr(3), prev_velocity(3),
+     beta_loc, beta_orient, beta_cv, beta_sv].
+    One host->device transfer per solver call (see solver.unpack_prior)."""
+    out = np.zeros(14, dtype=np.float32)
+    out[0] = 1.0
     if previous_frame is None or motion_options is None:
-        z3 = jnp.zeros(3, dtype=jnp.float32)
-        return {
-            "prev_end_quat": jnp.asarray([1, 0, 0, 0], dtype=jnp.float32),
-            "prev_end_tr": z3, "prev_velocity": z3,
-            "beta_location_consistency": jnp.float32(0),
-            "beta_orientation_consistency": jnp.float32(0),
-            "beta_constant_velocity": jnp.float32(0),
-            "beta_small_velocity": jnp.float32(0),
-        }
-    pv = previous_frame.end_pose.tr - previous_frame.begin_pose.tr
-    return {
-        "prev_end_quat": jnp.asarray(
-            s3n.quat_normalize(previous_frame.end_pose.quat), dtype=jnp.float32),
-        "prev_end_tr": jnp.asarray(
-            previous_frame.end_pose.tr - origin, dtype=jnp.float32),
-        "prev_velocity": jnp.asarray(pv, dtype=jnp.float32),
-        "beta_location_consistency": jnp.float32(
-            motion_options.beta_location_consistency),
-        "beta_orientation_consistency": jnp.float32(
-            motion_options.beta_orientation_consistency),
-        "beta_constant_velocity": jnp.float32(
-            motion_options.beta_constant_velocity),
-        "beta_small_velocity": jnp.float32(motion_options.beta_small_velocity),
-    }
+        return out
+    out[0:4] = s3n.quat_normalize(previous_frame.end_pose.quat)
+    out[4:7] = previous_frame.end_pose.tr - origin
+    out[7:10] = previous_frame.end_pose.tr - previous_frame.begin_pose.tr
+    out[10] = motion_options.beta_location_consistency
+    out[11] = motion_options.beta_orientation_consistency
+    out[12] = motion_options.beta_constant_velocity
+    out[13] = motion_options.beta_small_velocity
+    return out
 
 
 class CTICPRegistration:
@@ -108,10 +98,17 @@ class CTICPRegistration:
             use_distribution=options.use_distribution,
         )
         self._fn = slv.jitted_register_fn(self.statics)
+        self._dyn_cache = {}
 
-    def dynamics(self, options: Optional[CTICPOptions] = None) -> slv.SolverDynamics:
-        return slv.make_dynamics(options or self.options, self.search_radius,
-                                 self.voxel_resolution)
+    def dynamics(self, options: Optional[CTICPOptions] = None) -> np.ndarray:
+        """Packed dynamic-scalar vector, cached per options object."""
+        opts = options or self.options
+        out = self._dyn_cache.get(opts)
+        if out is None:
+            out = slv.pack_dynamics(opts, self.search_radius,
+                                    self.voxel_resolution)
+            self._dyn_cache[opts] = out
+        return out
 
     def register_device(self, map_state: vm.MapState,
                         raw_dev, alphas_dev, valid_dev,

@@ -94,31 +94,48 @@ class SolverDynamics(NamedTuple):
     outlier_distance: jnp.ndarray
 
 
+_INT_FIELDS = {"num_iters_icp", "ls_max_num_iters", "min_number_neighbors",
+               "threshold_voxel_occupancy", "max_num_residuals"}
+
+
+def pack_dynamics(opts: CTICPOptions, search_radius, voxel_resolution
+                  ) -> "np.ndarray":
+    """Host-side packing of all dynamic scalars into ONE float32 vector.
+
+    A single array crosses the host->device boundary per solver call instead
+    of ~20 tiny transfers (which dominate dispatch cost on a remote device).
+    Integer fields ride as exact small floats.
+    """
+    import numpy as np
+    vals = [
+        opts.num_iters_icp, opts.ls_max_num_iters, opts.ls_sigma,
+        opts.ls_tolerant_min_threshold, opts.max_dist_to_plane_ct_icp,
+        opts.threshold_orientation_norm, opts.threshold_translation_norm,
+        search_radius, voxel_resolution, opts.min_number_neighbors,
+        opts.power_planarity, opts.weight_alpha, opts.weight_neighborhood,
+        opts.threshold_voxel_occupancy, opts.max_num_residuals,
+        opts.threshold_linearity, opts.threshold_planarity,
+        opts.weight_point_to_point, opts.outlier_distance,
+    ]
+    return np.asarray(vals, dtype=np.float32)
+
+
+def unpack_dynamics(packed) -> SolverDynamics:
+    """Device-side unpacking (inside jit) of pack_dynamics' vector."""
+    fields = list(SolverDynamics._fields)
+    vals = {}
+    for idx, name in enumerate(fields):
+        v = packed[idx]
+        if name in _INT_FIELDS:
+            v = v.astype(jnp.int32)
+        vals[name] = v
+    return SolverDynamics(**vals)
+
+
 def make_dynamics(opts: CTICPOptions, search_radius, voxel_resolution
                   ) -> SolverDynamics:
-    f = lambda v: jnp.asarray(v, dtype=jnp.float32)
-    i = lambda v: jnp.asarray(v, dtype=jnp.int32)
-    return SolverDynamics(
-        num_iters_icp=i(opts.num_iters_icp),
-        ls_max_num_iters=i(opts.ls_max_num_iters),
-        ls_sigma=f(opts.ls_sigma),
-        ls_tolerant_min_threshold=f(opts.ls_tolerant_min_threshold),
-        max_dist_to_plane=f(opts.max_dist_to_plane_ct_icp),
-        threshold_orientation_norm=f(opts.threshold_orientation_norm),
-        threshold_translation_norm=f(opts.threshold_translation_norm),
-        search_radius=f(search_radius),
-        voxel_resolution=f(voxel_resolution),
-        min_number_neighbors=i(opts.min_number_neighbors),
-        power_planarity=f(opts.power_planarity),
-        weight_alpha=f(opts.weight_alpha),
-        weight_neighborhood=f(opts.weight_neighborhood),
-        threshold_voxel_occupancy=i(opts.threshold_voxel_occupancy),
-        max_num_residuals=i(opts.max_num_residuals),
-        threshold_linearity=f(opts.threshold_linearity),
-        threshold_planarity=f(opts.threshold_planarity),
-        weight_point_to_point=f(opts.weight_point_to_point),
-        outlier_distance=f(opts.outlier_distance),
-    )
+    return unpack_dynamics(jnp.asarray(
+        pack_dynamics(opts, search_radius, voxel_resolution)))
 
 
 class RegistrationResult(NamedTuple):
@@ -274,8 +291,12 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
 
     zero = jnp.zeros((12,), dtype=raw.dtype)
 
-    def body(it, carry):
-        q0, t0, q1, t1, lam, _ = carry
+    def cond(carry):
+        it = carry[0]
+        return it < jnp.minimum(dyn.ls_max_num_iters, MAX_INNER_ITERS)
+
+    def body(carry):
+        it, q0, t0, q1, t1, lam, _ = carry
 
         def rfun(d):
             return _residual_vector(statics, dyn, d, raw, alphas, anchors,
@@ -307,21 +328,30 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
         cost1 = total_cost(delta, q0, t0, q1, t1)
         accept = cost1 < cost0
         best = jnp.where(accept, cost1, cost0)
-        nq0, nt0, nq1, nt1 = res.apply_delta(
+        q0, t0, q1, t1 = res.apply_delta(
             jnp.where(accept, delta, zero), q0, t0, q1, t1)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
                         jnp.minimum(lam * 4.0, 1e4))
-        active = it < dyn.ls_max_num_iters
-        q0 = jnp.where(active, nq0, q0)
-        t0 = jnp.where(active, nt0, t0)
-        q1 = jnp.where(active, nq1, q1)
-        t1 = jnp.where(active, nt1, t1)
-        return q0, t0, q1, t1, lam, jnp.where(active, best, carry[5])
+        return it + 1, q0, t0, q1, t1, lam, best
 
-    init = (qb, tb, qe, te, jnp.asarray(1e-4, raw.dtype),
+    init = (jnp.int32(0), qb, tb, qe, te, jnp.asarray(1e-4, raw.dtype),
             jnp.asarray(jnp.inf, raw.dtype))
-    q0, t0, q1, t1, _, cost = jax.lax.fori_loop(0, MAX_INNER_ITERS, body, init)
+    _, q0, t0, q1, t1, _, cost = jax.lax.while_loop(cond, body, init)
     return q0, t0, q1, t1, cost, n_res
+
+
+def unpack_prior(packed):
+    """Unpack the [14] prior vector of registration.pack_prior into the dict
+    consumed by residuals.motion_prior_residuals."""
+    return {
+        "prev_end_quat": packed[0:4],
+        "prev_end_tr": packed[4:7],
+        "prev_velocity": packed[7:10],
+        "beta_location_consistency": packed[10],
+        "beta_orientation_consistency": packed[11],
+        "beta_constant_velocity": packed[12],
+        "beta_small_velocity": packed[13],
+    }
 
 
 def build_register_fn(statics: SolverStatics):
@@ -330,11 +360,17 @@ def build_register_fn(statics: SolverStatics):
     The returned function has signature
       (level, raw [K,3], alphas [K], valid [K], qb, tb, qe, te, prior, dyn)
         -> RegistrationResult
-    and is safe to wrap in jax.jit (all control flow is lax).
+    where ``prior`` is either the dict of motion_prior_residuals or a packed
+    [14] vector, and ``dyn`` either a SolverDynamics or a packed [19] vector
+    (one transfer each per call). Safe to wrap in jax.jit (all control flow
+    is lax).
     """
 
-    def register(level, raw, alphas, valid, qb, tb, qe, te, prior,
-                 dyn: SolverDynamics):
+    def register(level, raw, alphas, valid, qb, tb, qe, te, prior, dyn):
+        if not isinstance(dyn, SolverDynamics):
+            dyn = unpack_dynamics(dyn)
+        if not isinstance(prior, dict):
+            prior = unpack_prior(prior)
         qb = s3.quat_normalize(qb)
         qe = s3.quat_normalize(qe)
         sensor_location = te  # reference passes &end_t (ct_icp.cpp:592)

@@ -60,8 +60,8 @@ class PreviousFrameMotionModel:
                 and pred.begin_pose.location_distance(frame.begin_pose) < o.threshold_translation_diff
                 and pred.end_pose.location_distance(frame.end_pose) < o.threshold_translation_diff)
 
-    def device_prior(self, origin: np.ndarray) -> dict:
-        """The device-side prior pytree for the solver."""
+    def device_prior(self, origin: np.ndarray) -> np.ndarray:
+        """Packed prior vector for the solver (see registration.make_prior)."""
         return make_prior(self.previous_frame, self.options, origin)
 
 
