@@ -29,7 +29,8 @@ from ct_icp_tpu.config.options import (CTICPOptions, Initialization,
                                        PoseParametrization, SamplingOption)
 from ct_icp_tpu.core import se3_np as s3n
 from ct_icp_tpu.core.pose import Pose, TrajectoryFrame
-from ct_icp_tpu.icp.registration import CTICPRegistration, ICPSummary
+from ct_icp_tpu.icp.registration import (CTICPRegistration, ICPSummary,
+                                         make_prior)
 from ct_icp_tpu.mapping import voxel_map as vm
 from ct_icp_tpu.odometry import pipeline as pl
 from ct_icp_tpu.odometry.motion_model import PreviousFrameMotionModel
@@ -109,6 +110,21 @@ class Odometry:
         self._update_map = pl.make_update_map_fn(
             self.map_options, options.max_dirty_voxels)
         self._rebase = pl.make_rebase_fn(self.map_options)
+
+        # fused single-dispatch frame step for the non-robust grid path
+        self._use_fused = (not options.robust_registration
+                           and options.sampling == SamplingOption.GRID
+                           and options.max_num_keypoints <= 0)
+        self._frame_step = None
+        if self._use_fused:
+            self._frame_step = pl.make_frame_step_fn(
+                self.map_options, self.registration.statics,
+                sub_capacity=options.max_subsampled_points,
+                max_dirty=options.max_dirty_voxels,
+                distort_constant_velocity=(
+                    options.motion_compensation
+                    == MotionCompensation.CONSTANT_VELOCITY))
+        self._startup_opts_cache = {}
 
         self.default_motion_model = PreviousFrameMotionModel(
             options.default_motion_model)
@@ -426,9 +442,125 @@ class Odometry:
         else:
             self.robust_num_consecutive_failures = 0
 
+    def _effective_icp_options(self, info: FrameInfo) -> CTICPOptions:
+        """Init-regimen adjusted ICP options (reference odometry.cpp:560-565)."""
+        o = self.options
+        startup = info.registered_fid < o.init_num_frames
+        cached = self._startup_opts_cache.get(startup)
+        if cached is None:
+            opts = o.ct_icp_options
+            if startup:
+                opts = dataclasses.replace(
+                    opts, threshold_voxel_occupancy=1,
+                    num_iters_icp=max(opts.num_iters_icp, 15))
+            cached = opts
+            self._startup_opts_cache[startup] = cached
+        return cached
+
+    def _do_register_fused(self, xyz, timestamps, info: FrameInfo
+                           ) -> RegistrationSummary:
+        """Single-dispatch frame registration (non-robust path)."""
+        o = self.options
+        k = info.registered_fid
+        cap = o.max_scan_points
+        n = xyz.shape[0]
+        if n > cap:
+            sel = self.rng.choice(n, cap, replace=False)
+            xyz, timestamps = xyz[sel], timestamps[sel]
+            n = cap
+        raw = np.zeros((cap, 3), np.float32)
+        raw[:n] = xyz
+        alphas = np.ones((cap,), np.float32)
+        alphas[:n] = self._frame_alphas(timestamps, info)
+
+        frame = self.trajectory[k]
+        summary = RegistrationSummary()
+        summary.initial_frame = frame.copy()
+        pose_init = np.concatenate([
+            s3n.quat_normalize(frame.begin_pose.quat),
+            frame.begin_pose.tr - self.origin,
+            s3n.quat_normalize(frame.end_pose.quat),
+            frame.end_pose.tr - self.origin]).astype(np.float32)
+
+        if k > 0 and o.with_default_motion_model:
+            self.default_motion_model.options = o.default_motion_model
+            self.default_motion_model.update_state(self.trajectory[k - 1], k - 1)
+            prior = self.default_motion_model.device_prior(self.origin)
+        elif k > 0:
+            from ct_icp_tpu.config.options import MotionModelOptions
+            zero = dataclasses.replace(
+                MotionModelOptions(), beta_location_consistency=0.0,
+                beta_constant_velocity=0.0, beta_small_velocity=0.0,
+                beta_orientation_consistency=0.0)
+            prior = make_prior(self.trajectory[k - 1], zero, self.origin)
+        else:
+            prior = make_prior(None, None, self.origin)
+
+        startup = k < o.init_num_frames
+        dyn = self.registration.dynamics(self._effective_icp_options(info))
+
+        tracker = self.insertion_tracker
+        force_insert = 0.0
+        if o.always_insert or tracker.total_insertions == 0:
+            force_insert = 1.0
+        if o.do_no_insert:
+            force_insert = -1.0
+        frame_scalars = np.asarray([
+            o.init_voxel_size if startup else o.voxel_size,
+            o.init_sample_voxel_size if startup else o.sample_voxel_size,
+            o.max_distance,
+            1.0 if k > 0 else 0.0,
+            force_insert,
+            o.insertion_ego_rotation_threshold,
+            float(tracker.skipped_frames),
+            o.insertion_threshold_frames_skipped,
+            o.distance_error_threshold,
+            o.orientation_error_threshold,
+        ], dtype=np.float32)
+
+        self.map_state, packed = self._frame_step(
+            self.map_state, jnp.asarray(raw), jnp.asarray(alphas),
+            jnp.int32(n), jnp.asarray(pose_init), jnp.asarray(prior),
+            jnp.asarray(dyn), jnp.asarray(frame_scalars))
+        r = np.asarray(packed, dtype=np.float64)
+
+        frame.begin_pose.quat = r[0:4]
+        frame.begin_pose.tr = r[4:7] + self.origin
+        frame.end_pose.quat = r[7:11]
+        frame.end_pose.tr = r[11:14] + self.origin
+        frame.begin_pose.normalize_()
+        frame.end_pose.normalize_()
+        self.trajectory[k] = frame
+
+        summary.frame = frame
+        summary.number_of_residuals = int(r[14])
+        summary.sample_size = int(r[19])
+        summary.icp_summary.num_residuals_used = int(r[14])
+        summary.icp_summary.num_iters = int(r[15])
+        summary.icp_summary.success = bool(r[17])
+        summary.points_added = bool(r[21])
+        summary.logged_values["odometry_num_subsampled"] = int(r[18])
+        summary.logged_values["map_inserted_points"] = int(r[20])
+        self._compute_summary_metrics(summary, k)
+        assess_ok = bool(r[22])
+        summary.success = bool(r[17]) and (assess_ok or k == 0)
+        if not summary.success and not assess_ok:
+            summary.error_message = "Registration assessment failed"
+
+        tracker.cum_orientation_change_since_insertion += summary.relative_orientation
+        tracker.cum_distance_since_insertion += summary.relative_distance
+        if summary.points_added:
+            tracker.insert_frame(k)
+        else:
+            tracker.skip_frame()
+        self._maybe_rebase()
+        return summary
+
     def _do_register(self, xyz, timestamps, info: FrameInfo
                      ) -> RegistrationSummary:
         """Reference DoRegister (odometry.cpp:386-501)."""
+        if self._use_fused:
+            return self._do_register_fused(xyz, timestamps, info)
         o = self.options
         k = info.registered_fid
         sub_raw, sub_alphas, sub_valid, sub_count = self._initialize_frame(
