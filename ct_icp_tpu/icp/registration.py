@@ -70,11 +70,20 @@ class CTICPRegistration:
     def __init__(self, options: CTICPOptions,
                  map_options: MultiResolutionVoxelMapOptions,
                  num_keypoints: int,
-                 search_radius: Optional[float] = None):
+                 search_radius: Optional[float] = None,
+                 distance_strategy=None):
         self.options = options
         self.map_options = map_options
-        radius = (search_radius if search_radius is not None
-                  else map_options.default_radius)
+        self.distance_strategy = distance_strategy
+        if distance_strategy is not None:
+            # per-point radii up to radius_max: search the level that
+            # SearchParamsFromRadiusSearch would pick for radius_max, with
+            # per-point radius masking (normal-direction filter enabled, as
+            # the reference strategy passes the sensor location)
+            radius = distance_strategy.radius_max
+        else:
+            radius = (search_radius if search_radius is not None
+                      else map_options.default_radius)
         level_idx, nv = map_options.search_params(radius)
         self.level_index = level_idx
         self.search_radius = radius
@@ -92,10 +101,13 @@ class CTICPRegistration:
             solver=options.solver,
             parametrization=options.parametrization,
             num_closest_neighbors=options.num_closest_neighbors,
-            use_normal_filter=False,
+            use_normal_filter=(
+                distance_strategy is not None
+                and map_options.select_valid_normals_direction),
             use_barycenter=options.use_barycenter,
             use_lines=options.use_lines,
             use_distribution=options.use_distribution,
+            use_distance_strategy=distance_strategy is not None,
         )
         self._fn = slv.jitted_register_fn(self.statics)
         self._dyn_cache = {}
@@ -106,7 +118,8 @@ class CTICPRegistration:
         out = self._dyn_cache.get(opts)
         if out is None:
             out = slv.pack_dynamics(opts, self.search_radius,
-                                    self.voxel_resolution)
+                                    self.voxel_resolution,
+                                    self.distance_strategy)
             self._dyn_cache[opts] = out
         return out
 

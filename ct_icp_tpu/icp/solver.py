@@ -67,6 +67,9 @@ class SolverStatics:
     use_barycenter: bool = False
     use_lines: bool = True
     use_distribution: bool = True
+    # per-point search radius growing with sensor distance
+    # (reference DistanceBasedStrategy, neighborhood_strategy.h:95-146)
+    use_distance_strategy: bool = False
 
 
 class SolverDynamics(NamedTuple):
@@ -92,14 +95,18 @@ class SolverDynamics(NamedTuple):
     threshold_planarity: jnp.ndarray
     weight_point_to_point: jnp.ndarray
     outlier_distance: jnp.ndarray
+    # distance-based strategy params (reference neighborhood_strategy.h:95-146)
+    radius_min: jnp.ndarray
+    radius_max: jnp.ndarray
+    radius_exponent: jnp.ndarray
 
 
 _INT_FIELDS = {"num_iters_icp", "ls_max_num_iters", "min_number_neighbors",
                "threshold_voxel_occupancy", "max_num_residuals"}
 
 
-def pack_dynamics(opts: CTICPOptions, search_radius, voxel_resolution
-                  ) -> "np.ndarray":
+def pack_dynamics(opts: CTICPOptions, search_radius, voxel_resolution,
+                  distance_strategy=None) -> "np.ndarray":
     """Host-side packing of all dynamic scalars into ONE float32 vector.
 
     A single array crosses the host->device boundary per solver call instead
@@ -107,6 +114,7 @@ def pack_dynamics(opts: CTICPOptions, search_radius, voxel_resolution
     Integer fields ride as exact small floats.
     """
     import numpy as np
+    ds = distance_strategy
     vals = [
         opts.num_iters_icp, opts.ls_max_num_iters, opts.ls_sigma,
         opts.ls_tolerant_min_threshold, opts.max_dist_to_plane_ct_icp,
@@ -116,6 +124,9 @@ def pack_dynamics(opts: CTICPOptions, search_radius, voxel_resolution
         opts.threshold_voxel_occupancy, opts.max_num_residuals,
         opts.threshold_linearity, opts.threshold_planarity,
         opts.weight_point_to_point, opts.outlier_distance,
+        ds.radius_min if ds else 0.0,
+        ds.radius_max if ds else 0.0,
+        ds.exponent if ds else 1.0,
     ]
     return np.asarray(vals, dtype=np.float32)
 
@@ -161,8 +172,18 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
     Returns (anchors, normals, lines, cov_inv, geom_w, ok, closest_dist).
     """
     world = res.interp_world_points(qb, tb, qe, te, raw, alphas)
+    if statics.use_distance_strategy:
+        # radius = a*r_max + (1-a)*r_min, a = (min(|p|, r_max)/r_max)^exp
+        # (reference neighborhood_strategy.h:124-129, clamping replicated)
+        d_sensor = jnp.linalg.norm(raw, axis=-1)
+        a = jnp.power(jnp.minimum(d_sensor, dyn.radius_max)
+                      / jnp.maximum(dyn.radius_max, 1e-9),
+                      dyn.radius_exponent)
+        radius = a * dyn.radius_max + (1.0 - a) * dyn.radius_min
+    else:
+        radius = dyn.search_radius
     neigh, nmask, nd = vm.radius_search(
-        level, world, valid, dyn.search_radius, dyn.voxel_resolution,
+        level, world, valid, radius, dyn.voxel_resolution,
         nv=statics.voxel_neighborhood, k=statics.max_neighbors,
         sensor_location=sensor_location,
         use_normal_filter=statics.use_normal_filter,

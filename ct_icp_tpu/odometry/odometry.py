@@ -106,7 +106,8 @@ class Odometry:
 
         self.registration = CTICPRegistration(
             options.ct_icp_options, self.map_options,
-            num_keypoints=options.max_keypoints)
+            num_keypoints=options.max_keypoints,
+            distance_strategy=options.distance_strategy)
         self._update_map = pl.make_update_map_fn(
             self.map_options, options.max_dirty_voxels)
         self._rebase = pl.make_rebase_fn(self.map_options)

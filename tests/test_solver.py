@@ -222,3 +222,23 @@ def test_point_to_distribution_distance(room):
     summary = reg.register(room, raw, ts, init)
     assert summary.success
     assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.05
+
+
+def test_distance_based_strategy(room):
+    """DistanceBasedStrategy (reference neighborhood_strategy.h:95-146):
+    per-point search radius growing with sensor range + normal filter."""
+    from ct_icp_tpu.config.options import DistanceBasedStrategyOptions
+    rng = np.random.default_rng(61)
+    gt = _gt_frame()
+    raw, ts = render_scan(rng, 800, gt)
+    strategy = DistanceBasedStrategyOptions(radius_min=0.3, radius_max=1.5)
+    opts = CTICPOptions(num_iters_icp=15, ls_max_num_iters=5,
+                        min_number_neighbors=8,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024,
+                            distance_strategy=strategy)
+    init = TrajectoryFrame(Pose(timestamp=0.0), Pose(timestamp=1.0))
+    summary = reg.register(room, raw, ts, init)
+    assert summary.success
+    assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.03
