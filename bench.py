@@ -26,29 +26,44 @@ def build_scene():
     from ct_icp_tpu.datasets import synthetic as syn
 
     prims = []
-    # a 400 m urban corridor: ground + two building walls with openings
-    for x0 in range(-20, 400, 40):
+    # a 250 m urban corridor: ground + two building walls with openings.
+    # The scene sampler is uniform by area (like the reference's synthetic
+    # generator), so the corridor is kept compact and the sensor range short
+    # enough that the sampled density matches a real close-range LiDAR sweep.
+    for x0 in range(-20, 250, 40):
         prims += syn.rectangle([x0, -12, 0], [36, 0, 0], [0, 0, 8])
         prims += syn.rectangle([x0 + 2, 10, 0], [36, 0, 0], [0, 0, 8])
-    prims += syn.rectangle([-20, -15, 0], [440, 0, 0], [0, 30, 0])  # ground
+    prims += syn.rectangle([-20, -13, 0], [290, 0, 0], [0, 26, 0])  # ground
+    # facade relief every ~8 m: doorways/pillars jutting out of the walls —
+    # cross-track surfaces make the along-corridor direction observable
+    for x0 in range(-16, 248, 8):
+        prims += syn.rectangle([x0, -12, 0], [0, 1.5, 0], [0, 0, 4])
+        prims += syn.rectangle([x0 + 4, 10, 0], [0, -1.5, 0], [0, 0, 4])
     # some parked obstacles
     rng = np.random.default_rng(0)
     for i in range(30):
-        c = np.array([rng.uniform(0, 380), rng.uniform(-8, 8), 1.0])
+        c = np.array([rng.uniform(0, 230), rng.uniform(-8, 8), 1.0])
         prims.append(syn.Ball(c, 0.8))
     return syn.Scene(prims)
 
 
-def straight_trajectory(num_poses, total_time, speed=10.0):
+def straight_trajectory(num_poses, total_time, speed=10.0, accel=2.5):
+    """Drive profile: accelerate from rest to ``speed`` (like real driving
+    sequences, which begin at standstill — ICP's capture range is the search
+    radius, so frame-to-frame motion must ramp up for the constant-velocity
+    initialization to track)."""
     from ct_icp_tpu.core import se3_np as s3n
     from ct_icp_tpu.core.pose import Pose
     from ct_icp_tpu.core.trajectory import LinearContinuousTrajectory
 
+    t_ramp = speed / accel
     poses = []
     for i in range(num_poses):
-        s = i / (num_poses - 1)
-        t = s * total_time
-        x = speed * t
+        t = i / (num_poses - 1) * total_time
+        if t < t_ramp:
+            x = 0.5 * accel * t * t
+        else:
+            x = 0.5 * accel * t_ramp ** 2 + speed * (t - t_ramp)
         yaw = 0.08 * np.sin(0.5 * t)
         q = s3n.quat_from_rotvec(np.array([0.0, 0.0, yaw]))
         poses.append(Pose(q, np.array([x, 0.3 * np.sin(0.2 * t), 1.7]),
@@ -70,7 +85,7 @@ def main():
         scene, traj,
         syn.SyntheticAcquisitionOptions(
             num_points_per_frame=100_000, frame_duration=0.1,
-            max_range=100.0, min_range=2.0, noise_sigma=0.01),
+            max_range=50.0, min_range=2.0, noise_sigma=0.01),
         seed=3)
 
     # pre-render frames so host-side scene sampling isn't measured

@@ -244,10 +244,17 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
             desc.covariance + eps * jnp.eye(3, dtype=raw.dtype))
 
     # cap the number of residuals (reference max_num_residuals,
-    # ICPOptimizationBuilder ct_icp.cpp:148-456): keep the first N valid.
-    capped = jnp.cumsum(ok.astype(jnp.int32)) <= jnp.where(
-        dyn.max_num_residuals > 0, dyn.max_num_residuals, jnp.int32(1 << 30))
-    ok = ok & capped
+    # ICPOptimizationBuilder ct_icp.cpp:148-456). The reference caps a
+    # randomly-shuffled keypoint order; our keypoints arrive voxel-sorted, so
+    # a first-N cap would select a spatially-biased blob — decimate with a
+    # uniform stride over the valid points instead.
+    n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)
+    cap = jnp.where(dyn.max_num_residuals > 0, dyn.max_num_residuals,
+                    jnp.int32(1 << 30))
+    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    cap_c = jnp.minimum(cap, n_ok)
+    sel = (rank * cap_c) // n_ok != ((rank - 1) * cap_c) // n_ok
+    ok = ok & jnp.where(n_ok > cap, sel, True)
 
     return anchors, desc.normal, desc.line, cov_inv, geom_w, ok, cls
 
@@ -336,14 +343,21 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
 
         jtj = (jac * w[:, None]).T @ jac           # [12, 12] (MXU)
         jtr = (jac * w[:, None]).T @ r0
+        diag = jnp.diagonal(jtj)
+        # freeze unobservable dimensions (e.g. the begin pose when every
+        # alpha-timestamp is 1 on the first frames): without this, Jacobi
+        # normalization masks the rank deficiency and the unscaling step
+        # amplifies float32 noise into arbitrary pose updates
+        degen = diag <= 1e-7 * jnp.maximum(jnp.max(diag), 1e-12)
+        keep = (~degen).astype(raw.dtype)
         # Jacobi preconditioning keeps the f32 solve well-conditioned
-        d = jnp.sqrt(jnp.diagonal(jtj))
-        d = jnp.where(d > 1e-12, d, 1.0)
+        d = jnp.where(degen, 1.0, jnp.sqrt(jnp.maximum(diag, 1e-20)))
         a = jtj / (d[:, None] * d[None, :])
+        a = a * keep[:, None] * keep[None, :] + jnp.diag(degen.astype(raw.dtype))
         a = a + lam * jnp.diag(jnp.diagonal(a)) \
             + 1e-7 * jnp.eye(12, dtype=raw.dtype)
-        b = -jtr / d
-        delta = jnp.linalg.solve(a, b) / d
+        b = -jtr / d * keep
+        delta = jnp.linalg.solve(a, b) / d * keep
 
         cost0 = total_cost(zero, q0, t0, q1, t1)
         cost1 = total_cost(delta, q0, t0, q1, t1)
