@@ -329,6 +329,10 @@ class OdometryOptions:
     max_subsampled_points: int = 1 << 16  # after voxel-grid subsample
     max_keypoints: int = 4096             # after grid sampling
     max_dirty_voxels: int = 1 << 15       # voxels touched per map insert
+    # keep per-frame corrected world points on the host (for visualization /
+    # callbacks); forces the staged multi-dispatch path instead of the fused
+    # single-dispatch frame step
+    keep_corrected_points: bool = False
 
 
 def default_driving_profile() -> OdometryOptions:

@@ -115,7 +115,8 @@ class Odometry:
         # fused single-dispatch frame step for the non-robust grid path
         self._use_fused = (not options.robust_registration
                            and options.sampling == SamplingOption.GRID
-                           and options.max_num_keypoints <= 0)
+                           and options.max_num_keypoints <= 0
+                           and not options.keep_corrected_points)
         self._frame_step = None
         if self._use_fused:
             self._frame_step = pl.make_frame_step_fn(
@@ -141,6 +142,20 @@ class Odometry:
     # ------------------------------------------------------------- public API —
     def map_size(self) -> int:
         return int(self.map_state.levels[0].num_points)
+
+    # callback events (reference OdometryCallback, odometry.h:207-224)
+    BEFORE_ITERATION = "BEFORE_ITERATION"
+    ITERATION_COMPLETED = "ITERATION_COMPLETED"
+    FINISHED_REGISTRATION = "FINISHED_REGISTRATION"
+
+    def register_callback(self, event: str, callback):
+        """callback(odometry, summary_or_None, keypoints_or_None) -> bool."""
+        self.callbacks.setdefault(event, []).append(callback)
+
+    def _fire_callbacks(self, event: str, summary=None, keypoints=None):
+        for cb in self.callbacks.get(event, []):
+            assert cb(self, summary, keypoints) is not False, \
+                "Callback returned false"
 
     def register_frame(self, xyz: np.ndarray, timestamps: np.ndarray,
                        frame_id: Optional[int] = None,
@@ -343,6 +358,8 @@ class Odometry:
                 opts, threshold_voxel_occupancy=1,
                 num_iters_icp=max(opts.num_iters_icp, 15))
 
+        self._fire_callbacks(Odometry.BEFORE_ITERATION, summary,
+                             (kp_raw, kp_alphas, kp_valid))
         icp = self.registration.register_device(
             self.map_state, kp_raw, kp_alphas, kp_valid, summary.frame,
             prior=prior, origin=self.origin, options=opts)
@@ -350,6 +367,8 @@ class Odometry:
         summary.success = icp.success
         summary.number_of_residuals = icp.num_residuals_used
         summary.keypoints = (kp_raw, kp_alphas, kp_valid)
+        self._fire_callbacks(Odometry.ITERATION_COMPLETED, summary,
+                             summary.keypoints)
         if not icp.success:
             summary.error_message = icp.error_log
 
@@ -555,6 +574,7 @@ class Odometry:
         else:
             tracker.skip_frame()
         self._maybe_rebase()
+        self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
         return summary
 
     def _do_register(self, xyz, timestamps, info: FrameInfo
@@ -611,6 +631,7 @@ class Odometry:
         self._compute_summary_metrics(summary, k)
         self._update_map_host(summary, world, sub_valid, k)
         self._maybe_rebase()
+        self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
         return summary
 
     def _compute_summary_metrics(self, summary: RegistrationSummary, k: int):
