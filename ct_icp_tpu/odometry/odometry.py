@@ -157,6 +157,57 @@ class Odometry:
             assert cb(self, summary, keypoints) is not False, \
                 "Callback returned false"
 
+    def prepare_frame(self, xyz: np.ndarray, timestamps: np.ndarray,
+                      registered_fid: int, frame_id: Optional[int] = None):
+        """Pad + compute alphas + upload one scan ahead of time.
+
+        Thread-safe: a prefetch worker can prepare (and start uploading)
+        frame k+1 while the device is busy with frame k, hiding the
+        host->device transfer latency of the scan. ``registered_fid`` must be
+        the position this frame will have in the registration order.
+        """
+        xyz = np.ascontiguousarray(xyz, dtype=np.float64)
+        timestamps = np.ascontiguousarray(timestamps, dtype=np.float64)
+        if xyz.shape[0] == 0:
+            raise ValueError("The registered frame cannot be empty")
+        info = FrameInfo(
+            registered_fid=registered_fid,
+            frame_id=registered_fid if frame_id is None else frame_id,
+            begin_timestamp=float(timestamps.min()),
+            end_timestamp=float(timestamps.max()))
+        cap = self.options.max_scan_points
+        n = xyz.shape[0]
+        if n > cap:
+            sel = np.random.default_rng(registered_fid).choice(
+                n, cap, replace=False)
+            xyz, timestamps = xyz[sel], timestamps[sel]
+            n = cap
+        raw = np.zeros((cap, 3), np.float32)
+        raw[:n] = xyz
+        alphas = np.ones((cap,), np.float32)
+        alphas[:n] = self._frame_alphas(timestamps, info)
+        return {
+            "info": info, "n": n,
+            "raw_dev": jnp.asarray(raw),
+            "alphas_dev": jnp.asarray(alphas),
+            "xyz": xyz, "timestamps": timestamps,
+        }
+
+    def register_frame_prepared(self, prep: dict,
+                                initial_estimate: Optional[TrajectoryFrame] = None
+                                ) -> RegistrationSummary:
+        """Register a frame produced by prepare_frame (in order)."""
+        t_start = time.time()
+        info = prep["info"]
+        assert info.registered_fid == self.registered_frames, \
+            "Prepared frames must be registered in order"
+        self.registered_frames += 1
+        self._initialize_motion(info, initial_estimate)
+        summary = self._do_register(prep["xyz"], prep["timestamps"], info,
+                                    prep=prep)
+        summary.logged_values["odometry_total"] = (time.time() - t_start) * 1e3
+        return summary
+
     def register_frame(self, xyz: np.ndarray, timestamps: np.ndarray,
                        frame_id: Optional[int] = None,
                        initial_estimate: Optional[TrajectoryFrame] = None
@@ -477,21 +528,25 @@ class Odometry:
             self._startup_opts_cache[startup] = cached
         return cached
 
-    def _do_register_fused(self, xyz, timestamps, info: FrameInfo
-                           ) -> RegistrationSummary:
+    def _do_register_fused(self, xyz, timestamps, info: FrameInfo,
+                           prep=None) -> RegistrationSummary:
         """Single-dispatch frame registration (non-robust path)."""
         o = self.options
         k = info.registered_fid
-        cap = o.max_scan_points
-        n = xyz.shape[0]
-        if n > cap:
-            sel = self.rng.choice(n, cap, replace=False)
-            xyz, timestamps = xyz[sel], timestamps[sel]
-            n = cap
-        raw = np.zeros((cap, 3), np.float32)
-        raw[:n] = xyz
-        alphas = np.ones((cap,), np.float32)
-        alphas[:n] = self._frame_alphas(timestamps, info)
+        if prep is not None:
+            raw_dev, alphas_dev, n = prep["raw_dev"], prep["alphas_dev"], prep["n"]
+        else:
+            cap = o.max_scan_points
+            n = xyz.shape[0]
+            if n > cap:
+                sel = self.rng.choice(n, cap, replace=False)
+                xyz, timestamps = xyz[sel], timestamps[sel]
+                n = cap
+            raw = np.zeros((cap, 3), np.float32)
+            raw[:n] = xyz
+            alphas = np.ones((cap,), np.float32)
+            alphas[:n] = self._frame_alphas(timestamps, info)
+            raw_dev, alphas_dev = jnp.asarray(raw), jnp.asarray(alphas)
 
         frame = self.trajectory[k]
         summary = RegistrationSummary()
@@ -539,7 +594,7 @@ class Odometry:
         ], dtype=np.float32)
 
         self.map_state, packed = self._frame_step(
-            self.map_state, jnp.asarray(raw), jnp.asarray(alphas),
+            self.map_state, raw_dev, alphas_dev,
             jnp.int32(n), jnp.asarray(pose_init), jnp.asarray(prior),
             jnp.asarray(dyn), jnp.asarray(frame_scalars))
         r = np.asarray(packed, dtype=np.float64)
@@ -577,11 +632,11 @@ class Odometry:
         self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
         return summary
 
-    def _do_register(self, xyz, timestamps, info: FrameInfo
-                     ) -> RegistrationSummary:
+    def _do_register(self, xyz, timestamps, info: FrameInfo,
+                     prep=None) -> RegistrationSummary:
         """Reference DoRegister (odometry.cpp:386-501)."""
         if self._use_fused:
-            return self._do_register_fused(xyz, timestamps, info)
+            return self._do_register_fused(xyz, timestamps, info, prep=prep)
         o = self.options
         k = info.registered_fid
         sub_raw, sub_alphas, sub_valid, sub_count = self._initialize_frame(

