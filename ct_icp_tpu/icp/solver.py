@@ -70,6 +70,11 @@ class SolverStatics:
     # per-point search radius growing with sensor distance
     # (reference DistanceBasedStrategy, neighborhood_strategy.h:95-146)
     use_distance_strategy: bool = False
+    # ball-neighborhood fast path: estimate descriptors from ALL in-radius
+    # candidates instead of the k nearest (drops the top-k sort; the
+    # max_number_neighbors cap only exists in the reference to bound CPU
+    # work). Set False for exact k-NN parity with the reference.
+    ball_neighborhood: bool = True
 
 
 class SolverDynamics(NamedTuple):
@@ -182,18 +187,28 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
         radius = a * dyn.radius_max + (1.0 - a) * dyn.radius_min
     else:
         radius = dyn.search_radius
-    neigh, nmask, nd = vm.radius_search(
-        level, world, valid, radius, dyn.voxel_resolution,
-        nv=statics.voxel_neighborhood, k=statics.max_neighbors,
-        sensor_location=sensor_location,
-        use_normal_filter=statics.use_normal_filter,
-        threshold_voxel_occupancy=dyn.threshold_voxel_occupancy)
-    ncount = jnp.sum(nmask, axis=-1)
-    ok = valid & (ncount >= dyn.min_number_neighbors)
-
-    desc = compute_description(neigh, nmask, world)
-    closest = neigh[:, 0, :]
-    closest_dist = jnp.where(nmask[:, 0], nd[:, 0], 0.0)
+    if statics.ball_neighborhood:
+        cand, cmask, closest, closest_dist, ncount = vm.ball_search(
+            level, world, valid, radius, dyn.voxel_resolution,
+            nv=statics.voxel_neighborhood,
+            sensor_location=sensor_location,
+            use_normal_filter=statics.use_normal_filter,
+            threshold_voxel_occupancy=dyn.threshold_voxel_occupancy)
+        ok = valid & (ncount >= dyn.min_number_neighbors)
+        desc = compute_description(cand, cmask, world)
+        closest_dist = jnp.where(jnp.isfinite(closest_dist), closest_dist, 0.0)
+    else:
+        neigh, nmask, nd = vm.radius_search(
+            level, world, valid, radius, dyn.voxel_resolution,
+            nv=statics.voxel_neighborhood, k=statics.max_neighbors,
+            sensor_location=sensor_location,
+            use_normal_filter=statics.use_normal_filter,
+            threshold_voxel_occupancy=dyn.threshold_voxel_occupancy)
+        ncount = jnp.sum(nmask, axis=-1)
+        ok = valid & (ncount >= dyn.min_number_neighbors)
+        desc = compute_description(neigh, nmask, world)
+        closest = neigh[:, 0, :]
+        closest_dist = jnp.where(nmask[:, 0], nd[:, 0], 0.0)
     geom_w = res.ceres_path_weights(
         desc.a2D, closest_dist, dyn.power_planarity, dyn.weight_alpha,
         dyn.weight_neighborhood, dyn.max_dist_to_plane,
