@@ -99,9 +99,14 @@ def find_slots(level: MapLevel, query_coords):
         open_ = open_ & ~is_match & ~is_empty
         return slot_found, open_
 
-    slot_found, _ = jax.lax.fori_loop(
-        0, MAX_PROBES, body,
-        (jnp.full((m,), -1, dtype=jnp.int32), jnp.ones((m,), dtype=bool)))
+    # carries must carry the same varying-manual-axes type as the loop body
+    # output (which touches the — possibly shard_map-varying — table), so mix
+    # a zero derived from the table into the initializers
+    anchor = level.coords[0, 0] * 0
+    init_slot = h.astype(jnp.int32) * 0 - 1 + anchor
+    init_open = (h == h) & (anchor == 0)
+    slot_found, _ = jax.lax.fori_loop(0, MAX_PROBES, body,
+                                      (init_slot, init_open))
     return slot_found
 
 
@@ -138,10 +143,11 @@ def _resolve_or_claim_slots(coords_table, pt_coords, valid):
         open_ = open_ & ~is_match & ~is_empty
         return assigned, resolved, open_
 
+    anchor = coords_table[0, 0] * 0
+    init_assigned = h.astype(jnp.int32) * 0 - 1 + anchor
     assigned, resolved, _ = jax.lax.fori_loop(
         0, MAX_PROBES, search_body,
-        (jnp.full((n,), -1, dtype=jnp.int32), jnp.zeros((n,), bool),
-         jnp.ones((n,), bool)))
+        (init_assigned, (h != h) & (anchor == 0), (h == h) & (anchor == 0)))
 
     # phase 2: claim EMPTY/TOMB slots for new voxels
     def claim_body(r, carry):

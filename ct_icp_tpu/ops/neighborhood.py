@@ -77,6 +77,35 @@ def compute_description(neighbors, neighbor_mask, query):
     )
 
 
+def description_from_moments(count, sum_rel, sum_outer, query):
+    """Descriptor from accumulated moments (for sharded maps: each shard
+    contributes partial sums over its candidates, psum combines, then this
+    finishes the descriptor).
+
+    Args:
+      count: [...] number of points.
+      sum_rel: [..., 3] sum of (p - query).
+      sum_outer: [..., 3, 3] sum of (p - query)(p - query)^T.
+      query: [..., 3].
+    """
+    count_safe = jnp.maximum(count.astype(sum_rel.dtype), 1.0)
+    mean_rel = sum_rel / count_safe[..., None]
+    sec = sum_outer / count_safe[..., None, None]
+    cov = sec - mean_rel[..., :, None] * mean_rel[..., None, :]
+    barycenter = mean_rel + query
+
+    vals, vecs = eigh3x3(cov)
+    s = jnp.abs(vals)
+    s0 = jnp.maximum(s[..., 0], 1e-20)
+    linearity = (s[..., 0] - s[..., 1]) / s0
+    planarity = (s[..., 1] - s[..., 2]) / s0
+    a2d = (jnp.sqrt(s[..., 1]) - jnp.sqrt(s[..., 2])) / jnp.sqrt(s0)
+    return NeighborhoodDescription(
+        barycenter=barycenter, covariance=cov, normal=vecs[..., 2, :],
+        line=vecs[..., 0, :], linearity=linearity, planarity=planarity,
+        a2D=a2d, eigvals=vals)
+
+
 def classify(desc, linearity_threshold, planarity_threshold, count):
     """PLANAR / LINEAR / VOLUMIC / NONE (reference neighborhood.h:268-282).
 

@@ -1,0 +1,148 @@
+"""Voxel map sharded across a TPU mesh — the map-scale-out capability.
+
+SURVEY.md §2.4 P5 / BASELINE north star: partition map voxel blocks across
+devices so city-scale maps exceed a single chip's HBM and insertion/search
+bandwidth scales with the mesh.
+
+Decomposition (shard_map over mesh axis ``map``):
+  * each device owns an independent open-addressed table (capacity C/n);
+    a voxel belongs to the device ``owner(voxel) = voxel_hash2 % n``,
+  * insertion is embarrassingly parallel: every device runs the normal
+    insert kernel on the points whose voxels it owns (scans are replicated —
+    a frame's points are cheap next to the map),
+  * neighborhood queries are replicated: every device scans its local table
+    for the (2nv+1)^3 candidate voxels (non-owned voxels simply miss), and
+    contributes *moment sums* (count, sum of relatives, sum of outer
+    products) plus its best closest-point candidate; one psum over the mesh
+    combines the moments exactly — covariance/normal estimation then runs on
+    the combined sums (ops/neighborhood.description_from_moments). The only
+    collectives are psum over O(M) floats — no point data moves between
+    devices.
+"""
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ct_icp_tpu.mapping import voxel_map as vm
+from ct_icp_tpu.ops import voxel as vx
+
+# a second independent hash for the owner mapping (decoupled from the slot
+# probe hash so shard load stays uniform)
+_OWNER_P1 = jnp.uint32(2654435761)
+_OWNER_P2 = jnp.uint32(40503)
+_OWNER_P3 = jnp.uint32(2246822519)
+
+
+def owner_hash(coords):
+    c = coords.astype(jnp.uint32)
+    return (c[..., 0] * _OWNER_P1 ^ c[..., 1] * _OWNER_P2) + c[..., 2] * _OWNER_P3
+
+
+class ShardedMapState(NamedTuple):
+    levels: Tuple[vm.MapLevel, ...]   # arrays carry a leading shard axis
+
+
+def make_sharded_map(mesh: Mesh, options, axis_name: str = "map"
+                     ) -> ShardedMapState:
+    """Per-shard tables of capacity (total capacity / n_shards)."""
+    n = mesh.shape[axis_name]
+    shards = []
+    for r in options.resolutions:
+        per_shard_log2 = max(r.capacity_log2 - (n - 1).bit_length(), 8)
+        lvl = vm.make_level(per_shard_log2, r.max_num_points)
+        stacked = vm.MapLevel(*(jnp.stack([x] * n) for x in lvl))
+        shards.append(stacked)
+    state = ShardedMapState(levels=tuple(shards))
+    sh = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
+
+
+def make_sharded_update_fn(mesh: Mesh, options, max_dirty: int,
+                           axis_name: str = "map"):
+    """Distributed prune+insert: each shard inserts the points it owns."""
+    n = mesh.shape[axis_name]
+    resolutions = tuple(r.resolution for r in options.resolutions)
+    min_dists = tuple(r.min_distance_between_points for r in options.resolutions)
+
+    def local_update(levels, world, valid, begin_tr, location, max_distance):
+        my = jax.lax.axis_index(axis_name)
+        new_levels = []
+        inserted = jnp.int32(0)
+        for i, level in enumerate(levels):
+            level = jax.tree_util.tree_map(lambda x: x[0], level)
+            coords = vx.voxel_coords(world, resolutions[i])
+            mine = (owner_hash(coords) % n).astype(jnp.int32) == my
+            level = vm.prune_level(level, location, max_distance)
+            level, cnt = vm.insert_points(
+                level, world, valid & mine, resolutions[i], min_dists[i],
+                begin_tr, max_dirty)
+            inserted = inserted + cnt
+            new_levels.append(jax.tree_util.tree_map(
+                lambda x: x[None], level))
+        total = jax.lax.psum(inserted, axis_name)
+        return tuple(new_levels), total
+
+    in_specs = (tuple(vm.MapLevel(*(P(axis_name),) * 6)
+                      for _ in resolutions),
+                P(), P(), P(), P(), P())
+    out_specs = (tuple(vm.MapLevel(*(P(axis_name),) * 6)
+                       for _ in resolutions), P())
+
+    fn = jax.jit(jax.shard_map(local_update, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs))
+
+    def update(state: ShardedMapState, world, valid, begin_tr, location,
+               max_distance):
+        levels, total = fn(state.levels, world, valid, begin_tr, location,
+                           max_distance)
+        return ShardedMapState(levels=levels), total
+
+    return update
+
+
+def make_sharded_ball_query_fn(mesh: Mesh, options, level_index: int, nv: int,
+                               axis_name: str = "map"):
+    """Distributed neighborhood query via moment-sum reduction.
+
+    queries are replicated; returns (count [M], desc moments combined into
+    (closest [M,3], closest_dist [M], barycenter-ready sums)) — shaped like
+    the single-chip ball_search + compute_description pipeline.
+    """
+    resolution = options.resolutions[level_index].resolution
+
+    def local_query(levels, queries, query_valid, radius):
+        level = jax.tree_util.tree_map(lambda x: x[0], levels[level_index])
+        cand, mask, closest, closest_dist, count = vm.ball_search(
+            level, queries, query_valid, radius, resolution, nv=nv)
+        w = mask.astype(queries.dtype)
+        rel = (cand - queries[:, None, :]) * w[..., None]
+        sum_rel = jnp.sum(rel, axis=1)
+        sum_outer = jnp.einsum("mki,mkj->mij", rel, rel)
+        # combine exactly across shards
+        count = jax.lax.psum(count, axis_name)
+        sum_rel = jax.lax.psum(sum_rel, axis_name)
+        sum_outer = jax.lax.psum(sum_outer, axis_name)
+        # closest point: min over shards
+        best = jax.lax.pmin(closest_dist, axis_name)
+        is_best = closest_dist <= best + 1e-12
+        closest = jax.lax.psum(
+            jnp.where(is_best[:, None], closest, 0.0), axis_name)
+        n_best = jax.lax.psum(is_best.astype(queries.dtype), axis_name)
+        closest = closest / jnp.maximum(n_best[:, None], 1.0)
+        return count, sum_rel, sum_outer, closest, best
+
+    in_specs = (tuple(vm.MapLevel(*(P(axis_name),) * 6)
+                      for _ in options.resolutions), P(), P(), P())
+    out_specs = (P(), P(), P(), P(), P())
+    fn = jax.jit(jax.shard_map(local_query, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs))
+
+    def query(state: ShardedMapState, queries, query_valid, radius):
+        return fn(state.levels, queries, query_valid,
+                  jnp.asarray(radius, jnp.float32))
+
+    return query

@@ -1,7 +1,8 @@
 """Per-stage timing of the odometry pipeline on the current default device.
 
-Times each device stage with block_until_ready to find where a frame's
-budget goes. Run on TPU:  python tools/profile_stages.py
+Times the fused frame step and each constituent with block_until_ready and
+proper warmup. Run on TPU:
+  PYTHONPATH=/root/repo:/root/.axon_site python -u tools/profile_stages.py
 """
 
 import time
@@ -23,108 +24,135 @@ def timeit(fn, *args, n=5, **kw):
 
 
 def main():
+    import bench
     from ct_icp_tpu.config.options import default_driving_profile
+    from ct_icp_tpu.datasets import synthetic as syn
     from ct_icp_tpu.icp.registration import make_prior
     from ct_icp_tpu.icp import solver as slv
     from ct_icp_tpu.mapping import voxel_map as vm
+    from ct_icp_tpu.odometry.odometry import Odometry
     from ct_icp_tpu.odometry import pipeline as pl
 
     o = default_driving_profile()
-    rng = np.random.default_rng(0)
-
     print("device:", jax.devices()[0])
 
-    # ---------------- raw scan buffers
-    n = o.max_scan_points
-    raw = jnp.asarray(rng.uniform(-60, 60, (n, 3)), jnp.float32)
-    alphas = jnp.asarray(rng.uniform(0, 1, (n,)), jnp.float32)
-    valid = jnp.ones((n,), bool)
+    # realistic workload: warm the odometry with a few bench frames
+    scene = bench.build_scene()
+    traj = bench.straight_trajectory(400, 2.0)
+    acq = syn.SyntheticSensorAcquisition(
+        scene, traj,
+        syn.SyntheticAcquisitionOptions(num_points_per_frame=100000,
+                                        frame_duration=0.1, max_range=50.0,
+                                        min_range=2.0, noise_sigma=0.01),
+        seed=3)
+    odo = Odometry(o)
+    preps = []
+    for i in range(8):
+        fr = acq.frame(i)
+        preps.append(odo.prepare_frame(fr["xyz"], fr["timestamps"], i))
+    for i in range(6):
+        odo.register_frame_prepared(preps[i])
 
+    # ---- fused frame step in isolation (replay frame 6 style inputs)
+    prep = preps[6]
+    import dataclasses
+    frame = odo.trajectory[-1]
+    pose_init = np.concatenate([
+        frame.begin_pose.quat, frame.begin_pose.tr - odo.origin,
+        frame.end_pose.quat, frame.end_pose.tr - odo.origin]).astype(np.float32)
+    prior = odo.default_motion_model.device_prior(odo.origin)
+    dyn = odo.registration.dynamics(o.ct_icp_options)
+    fs = np.asarray([o.voxel_size, o.sample_voxel_size, o.max_distance,
+                     1.0, 0.0, o.insertion_ego_rotation_threshold, 0.0,
+                     o.insertion_threshold_frames_skipped,
+                     o.distance_error_threshold,
+                     o.orientation_error_threshold], np.float32)
+
+    def fused():
+        # non-donating copy so we can repeat
+        ms, packed = odo._frame_step(
+            jax.tree_util.tree_map(lambda x: x + 0 if x.dtype != bool else x,
+                                   odo.map_state),
+            prep["raw_dev"], prep["alphas_dev"], jnp.int32(prep["n"]),
+            jnp.asarray(pose_init), jnp.asarray(prior), jnp.asarray(dyn),
+            jnp.asarray(fs))
+        return packed
+
+    t, _ = timeit(fused, n=5)
+    print(f"fused frame step (total):            {t:8.2f} ms")
+
+    # ---- constituents
+    raw, alphas = prep["raw_dev"], prep["alphas_dev"]
+    valid = jnp.arange(o.max_scan_points) < prep["n"]
     t, (sub_raw, sub_alphas, sub_valid, cnt) = timeit(
-        pl.preprocess, raw, alphas, valid, jnp.float32(0.5),
+        pl.preprocess, raw, alphas, valid, jnp.float32(o.voxel_size),
         o.max_subsampled_points)
-    print(f"preprocess(subsample {n}->{int(cnt)}):  {t:8.2f} ms")
+    print(f"  preprocess ({prep['n']}->{int(cnt)}):     {t:8.2f} ms")
 
     t, (kp_raw, kp_alphas, kp_valid, kcnt) = timeit(
-        pl.sample_keypoints, sub_raw, sub_alphas, sub_valid, jnp.float32(1.5),
-        o.max_keypoints)
-    print(f"sample_keypoints (->{int(kcnt)}):       {t:8.2f} ms")
+        pl.sample_keypoints, sub_raw, sub_alphas, sub_valid,
+        jnp.float32(o.sample_voxel_size), o.max_keypoints)
+    print(f"  sample_keypoints (->{int(kcnt)}):     {t:8.2f} ms")
 
-    # ---------------- map with content
-    map_state = vm.make_map(o.map_options)
-    update_map = pl.make_update_map_fn(o.map_options, o.max_dirty_voxels)
-    world = jnp.asarray(rng.uniform(-60, 60, (o.max_subsampled_points, 3)),
-                        jnp.float32)
-    wvalid = jnp.ones((o.max_subsampled_points,), bool)
-    zero3 = jnp.zeros(3, jnp.float32)
-    for _ in range(3):  # warm the map with some content
-        map_state, ins = update_map(map_state, world, wvalid, zero3, zero3,
-                                    jnp.float32(100.0), jnp.asarray(True))
-        world = world + 1.0
+    level = odo.map_state.levels[0]
+    level_idx, nv = o.map_options.search_params(o.map_options.default_radius)
+    res_ = o.map_options.resolutions[0].resolution
+    world = kp_raw
+    t, _ = timeit(vm.ball_search, level, world, kp_valid,
+                  jnp.float32(o.map_options.default_radius),
+                  jnp.float32(res_), nv=nv)
+    print(f"  ball_search (K={o.max_keypoints}, nv={nv}):  {t:8.2f} ms")
 
+    t, _ = timeit(vm.radius_search, level, world, kp_valid,
+                  jnp.float32(o.map_options.default_radius),
+                  jnp.float32(res_), nv=nv, k=20)
+    print(f"  radius_search(top-k):              {t:8.2f} ms")
+
+    fn = odo.registration._fn
+    qb = jnp.asarray(pose_init[0:4])
+    tb = jnp.asarray(pose_init[4:7])
+    qe = jnp.asarray(pose_init[7:11])
+    te = jnp.asarray(pose_init[11:14])
+    t, out = timeit(fn, level, kp_raw, kp_alphas, kp_valid, qb, tb, qe, te,
+                    jnp.asarray(prior), jnp.asarray(dyn))
+    print(f"  solver ({int(out.num_iters)} outer iters):  {t:8.2f} ms")
+
+    # solver with 1 outer iteration (per-iteration cost)
+    opts1 = dataclasses.replace(o.ct_icp_options, num_iters_icp=1)
+    dyn1 = slv.pack_dynamics(opts1, odo.registration.search_radius,
+                             odo.registration.voxel_resolution)
+    t, out1 = timeit(fn, level, kp_raw, kp_alphas, kp_valid, qb, tb, qe, te,
+                     jnp.asarray(prior), jnp.asarray(dyn1))
+    print(f"  solver (1 outer iter):             {t:8.2f} ms")
+
+    world_pts = pl.transform_points(sub_raw, sub_alphas, qb, tb, qe, te)
+    upd = odo._update_map
+    state0 = jax.tree_util.tree_map(lambda x: x + 0, odo.map_state)
+    jax.block_until_ready(state0)
     t0 = time.time()
     reps = 5
+    st = state0
     for _ in range(reps):
-        map_state, ins = update_map(map_state, world, wvalid, zero3, zero3,
-                                    jnp.float32(100.0), jnp.asarray(True))
-        jax.block_until_ready(map_state.levels[0].count)
-        world = world + 0.5
-    t = (time.time() - t0) / reps * 1000
-    print(f"update_map (prune+insert x3 levels):   {t:8.2f} ms")
-
-    t0 = time.time()
-    for _ in range(reps):
-        map_state2, ins = update_map(map_state, world, wvalid, zero3, zero3,
-                                     jnp.float32(100.0), jnp.asarray(False),
-                                     prune=False)
-        jax.block_until_ready(map_state2.levels[0].count)
-        map_state = map_state2
-    t = (time.time() - t0) / reps * 1000
-    print(f"update_map (no prune, no insert):      {t:8.2f} ms")
-
-    # ---------------- radius search alone
-    level_idx, nv = o.map_options.search_params(o.map_options.default_radius)
-    level = map_state.levels[level_idx]
-    res_ = o.map_options.resolutions[level_idx].resolution
-    q = world[: o.max_keypoints]
-    qv = jnp.ones((o.max_keypoints,), bool)
-    t, _ = timeit(vm.radius_search, level, q, qv,
-                  jnp.float32(o.map_options.default_radius), jnp.float32(res_),
-                  nv=nv, k=20)
-    print(f"radius_search (K={o.max_keypoints}, nv={nv}):   {t:8.2f} ms")
-
-    # ---------------- solver
-    statics = slv.SolverStatics(
-        num_keypoints=o.max_keypoints, max_neighbors=20,
-        level_index=level_idx, voxel_neighborhood=nv)
-    fn = slv.jitted_register_fn(statics)
-    dyn = slv.make_dynamics(o.ct_icp_options, o.map_options.default_radius,
-                            res_)
-    prior = make_prior(None, None, np.zeros(3))
-    qb = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
-    tb = jnp.zeros(3, jnp.float32)
-    t, out = timeit(fn, level, q, kp_alphas, qv, qb, tb, qb, tb, prior, dyn)
-    print(f"solver (iters={int(out.num_iters)}, nres={int(out.num_residuals)}): "
-          f"{t:8.2f} ms")
-
-    # ---------------- transform
-    t, _ = timeit(pl.transform_points, sub_raw, sub_alphas, qb, tb, qb, tb)
-    print(f"transform_points:                      {t:8.2f} ms")
-
-    # ---------------- host->device transfer of one scan
-    host_scan = np.ascontiguousarray(rng.uniform(-60, 60, (n, 3)), np.float32)
-    t0 = time.time()
-    for _ in range(reps):
-        jax.block_until_ready(jnp.asarray(host_scan))
-    print(f"h2d scan transfer ({host_scan.nbytes >> 20} MB):  "
+        st2, _ = upd(st, world_pts, sub_valid,
+                     tb, te, jnp.float32(o.max_distance), jnp.asarray(True))
+        jax.block_until_ready(st2.levels[0].count)
+        st = st2
+    print(f"  update_map (prune+insert):         "
           f"{(time.time() - t0) / reps * 1000:8.2f} ms")
 
-    # tiny scalar transfer latency (dispatch/tunnel overhead)
+    # insert only (no prune)
+    st = jax.tree_util.tree_map(lambda x: x + 0, odo.map_state)
+    upd_np = odo._update_map
+    jax.block_until_ready(st)
     t0 = time.time()
-    for _ in range(20):
-        jax.block_until_ready(jnp.asarray(1.0))
-    print(f"tiny h2d scalar:                       "
-          f"{(time.time() - t0) / 20 * 1000:8.2f} ms")
+    for _ in range(reps):
+        st2, _ = upd_np(st, world_pts, sub_valid, tb, te,
+                        jnp.float32(o.max_distance), jnp.asarray(True),
+                        prune=False)
+        jax.block_until_ready(st2.levels[0].count)
+        st = st2
+    print(f"  update_map (insert only):          "
+          f"{(time.time() - t0) / reps * 1000:8.2f} ms")
 
 
 if __name__ == "__main__":
