@@ -81,33 +81,27 @@ def _probe_slot(i, h, mask):
 def find_slots(level: MapLevel, query_coords):
     """Vectorized lookup: voxel coords [M, 3] -> slot index [M] (-1 if absent).
 
-    Linear probing, stopping (logically) at the first EMPTY slot.
+    Single-pass probing: gather the keys of all MAX_PROBES probe positions at
+    once and select the first match occurring before the first EMPTY slot —
+    one big parallel gather instead of MAX_PROBES dependent round trips
+    (which are latency-bound on TPU).
     """
     c = level.coords.shape[0]
     mask_u = jnp.uint32(c - 1)
     h = vx.voxel_hash_u32(query_coords)
-    m = query_coords.shape[0]
 
-    def body(i, carry):
-        slot_found, open_ = carry
-        s = _probe_slot(i, h, mask_u).astype(jnp.int32)
-        key = level.coords[s]
-        is_empty = key[:, 0] == EMPTY  # TOMB is *not* empty: keep probing
-        is_match = jnp.all(key == query_coords, axis=-1) & ~is_empty
-        newly = open_ & is_match
-        slot_found = jnp.where(newly, s, slot_found)
-        open_ = open_ & ~is_match & ~is_empty
-        return slot_found, open_
-
-    # carries must carry the same varying-manual-axes type as the loop body
-    # output (which touches the — possibly shard_map-varying — table), so mix
-    # a zero derived from the table into the initializers
-    anchor = level.coords[0, 0] * 0
-    init_slot = h.astype(jnp.int32) * 0 - 1 + anchor
-    init_open = (h == h) & (anchor == 0)
-    slot_found, _ = jax.lax.fori_loop(0, MAX_PROBES, body,
-                                      (init_slot, init_open))
-    return slot_found
+    probes = jnp.arange(MAX_PROBES, dtype=jnp.uint32)
+    slots = ((h[:, None] + probes[None, :]) & mask_u).astype(jnp.int32)  # [M,R]
+    keys = level.coords[slots]                                 # [M, R, 3]
+    is_empty = keys[..., 0] == EMPTY
+    is_match = jnp.all(keys == query_coords[:, None, :], axis=-1) & ~is_empty
+    # only matches strictly before the first EMPTY along the chain count
+    before_empty = jnp.cumsum(is_empty.astype(jnp.int32), axis=-1) == 0
+    hit = is_match & before_empty
+    any_hit = jnp.any(hit, axis=-1)
+    first = jnp.argmax(hit, axis=-1)
+    found = jnp.take_along_axis(slots, first[:, None], axis=-1)[:, 0]
+    return jnp.where(any_hit, found, -1)
 
 
 # ---------------------------------------------------------------- insertion —
@@ -131,23 +125,19 @@ def _resolve_or_claim_slots(coords_table, pt_coords, valid):
     big = jnp.int32(2147483647)
 
     # phase 1: match against existing entries along the whole chain
-    def search_body(i, carry):
-        assigned, resolved, open_ = carry
-        s = _probe_slot(i, h, mask_u).astype(jnp.int32)
-        key = coords_table[s]
-        is_empty = key[:, 0] == EMPTY
-        is_match = jnp.all(key == pt_coords, axis=-1) & ~is_empty
-        newly = open_ & is_match & valid
-        assigned = jnp.where(newly, s, assigned)
-        resolved = resolved | newly
-        open_ = open_ & ~is_match & ~is_empty
-        return assigned, resolved, open_
-
-    anchor = coords_table[0, 0] * 0
-    init_assigned = h.astype(jnp.int32) * 0 - 1 + anchor
-    assigned, resolved, _ = jax.lax.fori_loop(
-        0, MAX_PROBES, search_body,
-        (init_assigned, (h != h) & (anchor == 0), (h == h) & (anchor == 0)))
+    # (single-pass parallel probing, same scheme as find_slots)
+    probes = jnp.arange(MAX_PROBES, dtype=jnp.uint32)
+    pslots = ((h[:, None] + probes[None, :]) & mask_u).astype(jnp.int32)
+    keys = coords_table[pslots]
+    is_empty = keys[..., 0] == EMPTY
+    is_match = jnp.all(keys == pt_coords[:, None, :], axis=-1) & ~is_empty
+    before_empty = jnp.cumsum(is_empty.astype(jnp.int32), axis=-1) == 0
+    hit = is_match & before_empty
+    any_hit = jnp.any(hit, axis=-1) & valid
+    first = jnp.argmax(hit, axis=-1)
+    found = jnp.take_along_axis(pslots, first[:, None], axis=-1)[:, 0]
+    assigned = jnp.where(any_hit, found, -1)
+    resolved = any_hit
 
     # phase 2: claim EMPTY/TOMB slots for new voxels
     def claim_body(r, carry):

@@ -51,15 +51,18 @@ def group_starts(sorted_coords, sorted_valid):
 def compact_mask(mask, capacity):
     """Pack the True positions of ``mask`` [N] into the front of a buffer.
 
+    Sort-free: positions come from a prefix sum and land via scatter, so the
+    packed order is the original order (what a stable argsort would give) at
+    a fraction of the cost.
+
     Returns (indices [capacity] int32, count int32, out_valid [capacity] bool).
     Slots beyond ``count`` point at arbitrary entries and must stay masked.
     """
     n = mask.shape[0]
-    order = jnp.argsort(~mask, stable=True)
+    pid = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dst = jnp.where(mask & (pos < capacity), pos, capacity)
+    idx = jnp.zeros((capacity,), jnp.int32).at[dst].set(pid, mode="drop")
     count = jnp.sum(mask).astype(jnp.int32)
-    idx = order[:capacity].astype(jnp.int32)
-    if capacity > n:
-        idx = jnp.concatenate(
-            [idx, jnp.zeros((capacity - n,), dtype=jnp.int32)])
     out_valid = jnp.arange(capacity, dtype=jnp.int32) < count
     return idx, jnp.minimum(count, capacity), out_valid
