@@ -53,8 +53,22 @@ def compute_description(neighbors, neighbor_mask, query):
     count_safe = jnp.maximum(count, 1.0)
     rel = (neighbors - query[..., None, :]) * w[..., None]
     mean_rel = jnp.sum(rel, axis=-2) / count_safe[..., None]
-    # E[xx^T] - mu mu^T on centered coordinates
-    sec = jnp.einsum("...ki,...kj->...ij", rel, rel) / count_safe[..., None, None]
+    # second moments as six elementwise products + reductions: the batched
+    # [.., K, 3]x[.., K, 3] -> [.., 3, 3] einsum is a degenerate matmul shape
+    # (3x3 output, huge batch) that the MXU handles poorly — the VPU form is
+    # one fused pass over the candidate buffer
+    x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]
+    sxx = jnp.sum(x * x, axis=-1)
+    sxy = jnp.sum(x * y, axis=-1)
+    sxz = jnp.sum(x * z, axis=-1)
+    syy = jnp.sum(y * y, axis=-1)
+    syz = jnp.sum(y * z, axis=-1)
+    szz = jnp.sum(z * z, axis=-1)
+    sec = jnp.stack([
+        jnp.stack([sxx, sxy, sxz], axis=-1),
+        jnp.stack([sxy, syy, syz], axis=-1),
+        jnp.stack([sxz, syz, szz], axis=-1),
+    ], axis=-2) / count_safe[..., None, None]
     cov = sec - mean_rel[..., :, None] * mean_rel[..., None, :]
     barycenter = mean_rel + query
 
