@@ -43,7 +43,8 @@ from ct_icp_tpu.config.options import (CTICPOptions, IcpDistance, LeastSquares,
 from ct_icp_tpu.core import se3 as s3
 from ct_icp_tpu.icp import residuals as res
 from ct_icp_tpu.mapping import voxel_map as vm
-from ct_icp_tpu.ops.neighborhood import compute_description
+from ct_icp_tpu.ops.neighborhood import (compute_description,
+                                         description_from_moments)
 
 MAX_OUTER_ITERS = 64
 MAX_INNER_ITERS = 64
@@ -188,14 +189,15 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
     else:
         radius = dyn.search_radius
     if statics.ball_neighborhood:
-        cand, cmask, closest, closest_dist, ncount = vm.ball_search(
-            level, world, valid, radius, dyn.voxel_resolution,
-            nv=statics.voxel_neighborhood,
-            sensor_location=sensor_location,
-            use_normal_filter=statics.use_normal_filter,
-            threshold_voxel_occupancy=dyn.threshold_voxel_occupancy)
+        ncount, sum_rel, sum_outer, closest, closest_dist = \
+            vm.ball_search_moments(
+                level, world, valid, radius, dyn.voxel_resolution,
+                nv=statics.voxel_neighborhood,
+                sensor_location=sensor_location,
+                use_normal_filter=statics.use_normal_filter,
+                threshold_voxel_occupancy=dyn.threshold_voxel_occupancy)
         ok = valid & (ncount >= dyn.min_number_neighbors)
-        desc = compute_description(cand, cmask, world)
+        desc = description_from_moments(ncount, sum_rel, sum_outer, world)
         closest_dist = jnp.where(jnp.isfinite(closest_dist), closest_dist, 0.0)
     else:
         neigh, nmask, nd = vm.radius_search(

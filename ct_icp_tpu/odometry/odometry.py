@@ -241,10 +241,10 @@ class Odometry:
         """World-frame map points + normals of one level
         (reference GetMapPoints, map.h:354-380)."""
         lvl = self.map_state.levels[level]
-        coords0 = np.asarray(lvl.coords[:, 0])
-        occupied = (coords0 != int(vm.EMPTY)) & (coords0 != int(vm.TOMB))
+        keys = np.asarray(lvl.keys)
+        occupied = keys > int(vm.TOMB)
         count = np.asarray(lvl.count)
-        pts = np.asarray(lvl.points)
+        pts = np.asarray(lvl.points).reshape(keys.shape[0], -1, 3)
         nrm = np.asarray(lvl.normals)
         out_p, out_n = [], []
         for s in np.nonzero(occupied & (count > 0))[0]:

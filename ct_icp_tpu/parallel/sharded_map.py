@@ -116,12 +116,9 @@ def make_sharded_ball_query_fn(mesh: Mesh, options, level_index: int, nv: int,
 
     def local_query(levels, queries, query_valid, radius):
         level = jax.tree_util.tree_map(lambda x: x[0], levels[level_index])
-        cand, mask, closest, closest_dist, count = vm.ball_search(
-            level, queries, query_valid, radius, resolution, nv=nv)
-        w = mask.astype(queries.dtype)
-        rel = (cand - queries[:, None, :]) * w[..., None]
-        sum_rel = jnp.sum(rel, axis=1)
-        sum_outer = jnp.einsum("mki,mkj->mij", rel, rel)
+        count, sum_rel, sum_outer, closest, closest_dist = \
+            vm.ball_search_moments(level, queries, query_valid, radius,
+                                   resolution, nv=nv)
         # combine exactly across shards
         count = jax.lax.psum(count, axis_name)
         sum_rel = jax.lax.psum(sum_rel, axis_name)

@@ -42,7 +42,7 @@ class TestInsert:
         slots = np.asarray(vm.find_slots(level, jnp.asarray(coords)))
         assert np.all(slots >= 0)
         # every point stored in its slot
-        stored = np.asarray(level.points)[slots]
+        stored = np.asarray(level.points)[slots].reshape(len(slots), -1, 3)
         cnt = np.asarray(level.count)[slots]
         for i in range(0, 500, 37):
             d = np.linalg.norm(stored[i, :cnt[i]] - pts[i], axis=-1)
@@ -67,7 +67,7 @@ class TestInsert:
         pts = np.tile(np.array([[3.3, 3.3, 3.3]]), (5, 1)) \
             + np.linspace(0, 0.4, 5)[:, None] * np.array([[1e-1, 0, 0]])
         level, n = insert(level, pts, min_dist=0.0)
-        occupied = np.asarray(level.coords[:, 0]) != np.int32(-2147483648)
+        occupied = np.asarray(level.keys) > 1  # > TOMB
         assert occupied.sum() == 1
         assert int(n) == 5
 
