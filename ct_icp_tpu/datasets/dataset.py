@@ -516,6 +516,49 @@ def read_nclt_poses(path) -> List[Pose]:
     return poses
 
 
+def read_tum_poses(path) -> List[Pose]:
+    """TUM-format trajectory (timestamp x y z qx qy qz qw) — the HILTI GT
+    format (reference ReadHILTIPosesInLidarFrame, dataset.cpp)."""
+    poses = []
+    for line in open(path):
+        tok = line.split()
+        if not tok or tok[0].startswith("#"):
+            continue
+        vals = [float(v) for v in tok[:8]]
+        ts, x, y, z, qx, qy, qz, qw = vals
+        poses.append(Pose(np.array([qw, qx, qy, qz]), np.array([x, y, z]),
+                          timestamp=ts))
+    return poses
+
+
+_HILTI_2021_CALIB = np.eye(4)
+_HILTI_2021_CALIB[:3, :3] = s3n.quat_to_matrix(s3n.quat_normalize(
+    np.array([-0.00016947759535612024, 0.999993918507834,
+              0.0012283821413574625, -0.0032596475280467258])))
+_HILTI_2021_CALIB[:3, 3] = [0.01001966915517371, -0.006645473484212856,
+                            0.09473042428051345]
+
+_HILTI_2022_CALIB = np.eye(4)
+_HILTI_2022_CALIB[:3, :3] = s3n.quat_to_matrix(s3n.quat_normalize(
+    np.array([0.0, 0.7071068, -0.7071068, 0.0])))
+_HILTI_2022_CALIB[:3, 3] = [-0.001, -0.00855, 0.055]
+
+
+def load_hilti_gt(sequence_path: Path, sequence_name: str,
+                  dataset: DatasetEnum) -> Optional[List[Pose]]:
+    """HILTI GT in the lidar frame (calibration conjugation like the
+    reference's ReadHILTIPosesInLidarFrame)."""
+    for candidate in (sequence_path / f"{sequence_name}.txt",
+                      sequence_path / "gt.txt",
+                      sequence_path / "groundtruth.txt"):
+        if candidate.exists():
+            poses = read_tum_poses(candidate)
+            calib = (_HILTI_2021_CALIB if dataset == DatasetEnum.HILTI_2021
+                     else _HILTI_2022_CALIB)
+            return conjugate_poses(poses, calib)
+    return None
+
+
 def conjugate_poses(poses: Sequence[Pose], calib: np.ndarray) -> List[Pose]:
     """GT calibration conjugation: Calib^-1 * P * Calib
     (reference dataset.cpp:1004-1029)."""
@@ -618,6 +661,12 @@ class Dataset:
                 if (root / name).is_dir():
                     add_ply_sequence(root / name, name, i,
                                      HILTI_SEQUENCES_SIZE[i])
+                    # HILTI GT uses TUM format + lidar-frame conjugation
+                    seq = sequences[-1] if sequences else None
+                    if seq is not None and not seq.seq_info.with_ground_truth:
+                        gt = load_hilti_gt(root / name, name, ds)
+                        if gt is not None:
+                            seq.set_ground_truth(gt)
         elif ds == DatasetEnum.NCLT:
             for i, name in enumerate(NCLT_SEQUENCE_NAMES):
                 if (root / f"{name}_vel").is_dir():
