@@ -114,6 +114,15 @@ def main():
 
     sec_per_frame = float(np.mean(times)) if times else float("inf")
     fps = 1.0 / sec_per_frame
+
+    # accuracy vs the synthetic ground truth (estimate starts at GT frame 0)
+    first_gt = frames[0]["begin_pose"]
+    errs = []
+    for est, fr in zip(odo.get_trajectory(), frames):
+        rel_gt = first_gt.inverse() * fr["end_pose"]
+        errs.append(np.linalg.norm(est.end_pose.tr - rel_gt.tr))
+    ape = float(np.mean(errs)) if errs else float("nan")
+
     result = {
         "metric": "synthetic_driving_odometry_throughput",
         "value": round(fps, 3),
@@ -123,6 +132,8 @@ def main():
         "frames": len(times),
         "failures": failures,
         "map_points": odo.map_size(),
+        "mean_ape_m": round(ape, 4),
+        "final_drift_m": round(float(errs[-1]), 4) if errs else None,
     }
     print(json.dumps(result))
 

@@ -1,0 +1,150 @@
+"""Sliding-window continuous-time bundle-adjustment backend.
+
+The pose-graph/backend capability of the scale-out plan (SURVEY.md §7 step 9):
+keep a window of recent keyframes (their keypoint batches stay resident on
+device), periodically re-associate them against the current map and jointly
+refine all begin/end poses with the distributed CT-BA step of
+parallel/ct_ba.py (single-device locally; the same step shards over a mesh).
+
+The front-end odometry stays untouched — the backend smooths the trajectory
+estimate after the fact, like a classic SLAM local-BA thread.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ct_icp_tpu.core import se3_np as s3n
+from ct_icp_tpu.icp import residuals as res
+from ct_icp_tpu.mapping import voxel_map as vm
+from ct_icp_tpu.ops.neighborhood import description_from_moments
+from ct_icp_tpu.parallel import ct_ba
+
+
+def make_assemble_fn(level_index: int, nv: int, resolution: float,
+                     min_neighbors: int = 10):
+    """Jitted associator: keyframe keypoints + map -> CTBAProblem arrays."""
+
+    @jax.jit
+    def assemble(levels, raw, alphas, valid, qb, tb, qe, te, radius):
+        # raw/alphas/valid: [F, K]; poses: [F, ...]
+        f, k = raw.shape[0], raw.shape[1]
+
+        def one(frame_raw, frame_alphas, frame_valid, fqb, ftb, fqe, fte):
+            world = res.interp_world_points(fqb, ftb, fqe, fte, frame_raw,
+                                            frame_alphas)
+            count, sum_rel, sum_outer, closest, closest_dist = \
+                vm.ball_search_moments(levels[level_index], world, frame_valid,
+                                       radius, resolution, nv=nv)
+            desc = description_from_moments(count, sum_rel, sum_outer, world)
+            w = jnp.where(frame_valid & (count >= min_neighbors),
+                          desc.a2D * desc.a2D, 0.0)
+            # normalize the point block per frame (reference GN path
+            # normalizes A/b by the residual count, ct_icp.cpp:875-882) so
+            # the continuity terms keep a meaningful relative weight
+            w = w / jnp.sqrt(jnp.maximum(jnp.sum(w), 1.0))
+            return closest, desc.normal, w
+
+        anchors, normals, weights = jax.vmap(one)(
+            raw, alphas, valid, qb, tb, qe, te)
+        return ct_ba.CTBAProblem(raw=raw, alphas=alphas, anchors=anchors,
+                                 normals=normals, weights=weights)
+
+    return assemble
+
+
+class CTBABackend:
+    """Attachable sliding-window refinement for an Odometry instance."""
+
+    def __init__(self, odometry, window: int = 8, period: int = 8,
+                 num_steps: int = 2, mesh: Optional[Mesh] = None,
+                 keep_first_frames: int = 2):
+        self.odometry = odometry
+        self.window = window
+        self.period = period
+        self.num_steps = num_steps
+        self.keep_first = keep_first_frames
+        reg = odometry.registration
+        self.assemble = make_assemble_fn(
+            reg.level_index, reg.statics.voxel_neighborhood,
+            reg.voxel_resolution)
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()[:1]), ("frames",))
+        self.mesh = mesh
+        self.step = ct_ba.make_ct_ba_step(mesh, num_inner_iters=2)
+        self._keypoints: List[tuple] = []   # (fid, raw, alphas, valid)
+        self._count = 0
+        self.refinements = 0
+
+        odometry.register_callback(
+            type(odometry).FINISHED_REGISTRATION, self._on_finished)
+
+    # ------------------------------------------------------------------ hooks —
+    def _on_finished(self, odometry, summary, keypoints=None) -> bool:
+        if summary is None or summary.keypoints is None:
+            return True
+        fid = len(odometry.trajectory) - 1
+        raw, alphas, valid = summary.keypoints
+        self._keypoints.append((fid, raw, alphas, valid))
+        if len(self._keypoints) > self.window:
+            self._keypoints.pop(0)
+        self._count += 1
+        if self._count % self.period == 0 and len(self._keypoints) >= 2:
+            self.refine()
+        return True
+
+    # ------------------------------------------------------------- refinement —
+    def refine(self):
+        odo = self.odometry
+        kps = [kp for kp in self._keypoints
+               if kp[0] >= self.keep_first]  # don't touch the anchor frames
+        n_shards = self.mesh.shape["frames"]
+        usable = (len(kps) // n_shards) * n_shards
+        if usable < max(2, n_shards):
+            return
+        kps = kps[-usable:]
+        fids = [kp[0] for kp in kps]
+        raw = jnp.stack([kp[1] for kp in kps])
+        alphas = jnp.stack([kp[2] for kp in kps])
+        valid = jnp.stack([kp[3] for kp in kps])
+
+        origin = odo.origin
+        qb = jnp.asarray(np.stack(
+            [s3n.quat_normalize(odo.trajectory[f].begin_pose.quat)
+             for f in fids]), jnp.float32)
+        tb = jnp.asarray(np.stack(
+            [odo.trajectory[f].begin_pose.tr - origin for f in fids]),
+            jnp.float32)
+        qe = jnp.asarray(np.stack(
+            [s3n.quat_normalize(odo.trajectory[f].end_pose.quat)
+             for f in fids]), jnp.float32)
+        te = jnp.asarray(np.stack(
+            [odo.trajectory[f].end_pose.tr - origin for f in fids]),
+            jnp.float32)
+
+        radius = jnp.float32(odo.registration.search_radius)
+        problem = self.assemble(odo.map_state.levels, raw, alphas, valid,
+                                qb, tb, qe, te, radius)
+        state = ct_ba.CTBAState(qb, tb, qe, te)
+        state, problem = ct_ba.shard_problem(self.mesh, state, problem)
+        for _ in range(self.num_steps):
+            state, cost = self.step(state, problem)
+
+        nqb = np.asarray(state.quat_begin, np.float64)
+        ntb = np.asarray(state.tr_begin, np.float64)
+        nqe = np.asarray(state.quat_end, np.float64)
+        nte = np.asarray(state.tr_end, np.float64)
+        for i, f in enumerate(fids):
+            fr = odo.trajectory[f]
+            fr.begin_pose.quat = s3n.quat_normalize(nqb[i])
+            fr.begin_pose.tr = ntb[i] + origin
+            fr.end_pose.quat = s3n.quat_normalize(nqe[i])
+            fr.end_pose.tr = nte[i] + origin
+        self.refinements += 1

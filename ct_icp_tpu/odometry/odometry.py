@@ -593,7 +593,7 @@ class Odometry:
             o.orientation_error_threshold,
         ], dtype=np.float32)
 
-        self.map_state, packed = self._frame_step(
+        self.map_state, packed, kp_dev = self._frame_step(
             self.map_state, raw_dev, alphas_dev,
             jnp.int32(n), jnp.asarray(pose_init), jnp.asarray(prior),
             jnp.asarray(dyn), jnp.asarray(frame_scalars))
@@ -614,6 +614,7 @@ class Odometry:
         summary.icp_summary.num_iters = int(r[15])
         summary.icp_summary.success = bool(r[17])
         summary.points_added = bool(r[21])
+        summary.keypoints = kp_dev
         summary.logged_values["odometry_num_subsampled"] = int(r[18])
         summary.logged_values["map_inserted_points"] = int(r[20])
         self._compute_summary_metrics(summary, k)

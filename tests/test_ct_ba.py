@@ -56,3 +56,31 @@ def test_ct_ba_sharding_invariance(mesh):
     np.testing.assert_allclose(np.asarray(out8.tr_end),
                                np.asarray(out1.tr_end), atol=1e-4)
     np.testing.assert_allclose(float(c8), float(c1), rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_backend_refinement_improves_or_preserves():
+    from tests.test_odometry import make_acquisition, small_options
+    from ct_icp_tpu.odometry.backend import CTBABackend
+    from ct_icp_tpu.odometry.odometry import Odometry
+
+    acq = make_acquisition(seed=43)
+    odo = Odometry(small_options())
+    backend = CTBABackend(odo, window=6, period=6, num_steps=1)
+    gt_ends = []
+    for i in range(12):
+        fr = acq.frame(i)
+        s = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        assert s.success
+        gt_ends.append(fr["end_pose"])
+    assert backend.refinements >= 1
+    # trajectory should stay consistent with GT after refinement
+    traj = odo.get_trajectory()
+    first_gt = gt_ends[0]
+    first_est = traj[0].end_pose
+    errs = []
+    for est, gt in zip(traj[1:], gt_ends[1:]):
+        rel_gt = first_gt.inverse() * gt
+        rel_est = first_est.inverse() * est.end_pose
+        errs.append(rel_gt.location_distance(rel_est))
+    assert max(errs) < 0.12, errs
