@@ -105,10 +105,13 @@ class SolverDynamics(NamedTuple):
     radius_min: jnp.ndarray
     radius_max: jnp.ndarray
     radius_exponent: jnp.ndarray
+    # candidate-cache policy: fresh gathers for the first N ICP iterations
+    regather_iters: jnp.ndarray
 
 
 _INT_FIELDS = {"num_iters_icp", "ls_max_num_iters", "min_number_neighbors",
-               "threshold_voxel_occupancy", "max_num_residuals"}
+               "threshold_voxel_occupancy", "max_num_residuals",
+               "regather_iters"}
 
 
 def pack_dynamics(opts: CTICPOptions, search_radius, voxel_resolution,
@@ -133,6 +136,7 @@ def pack_dynamics(opts: CTICPOptions, search_radius, voxel_resolution,
         ds.radius_min if ds else 0.0,
         ds.radius_max if ds else 0.0,
         ds.exponent if ds else 1.0,
+        1.0,  # regather_iters
     ]
     return np.asarray(vals, dtype=np.float32)
 
@@ -172,10 +176,17 @@ def _freeze_begin_cols(statics: SolverStatics):
 
 
 def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
-                   raw, alphas, valid, qb, tb, qe, te, sensor_location):
+                   raw, alphas, valid, qb, tb, qe, te, sensor_location,
+                   cached_planes=None, do_gather=None):
     """Association + descriptors for the current pose estimate.
 
-    Returns (anchors, normals, lines, cov_inv, geom_w, ok, closest_dist).
+    In ball mode, ``cached_planes`` (x, y, z, ok_base) from a previous
+    iteration can be re-scored against the moved keypoints — the gather is
+    the expensive half of the search, and inter-iteration pose deltas are far
+    smaller than a voxel. ``do_gather`` (traced bool) selects fresh gather vs
+    cache via lax.cond.
+
+    Returns (anchors, normals, lines, cov_inv, geom_w, ok, cls, cached_planes).
     """
     world = res.interp_world_points(qb, tb, qe, te, raw, alphas)
     if statics.use_distance_strategy:
@@ -189,16 +200,24 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
     else:
         radius = dyn.search_radius
     if statics.ball_neighborhood:
+        def fresh_gather(_):
+            return vm.gather_candidate_planes(
+                level, world, valid, dyn.voxel_resolution,
+                statics.voxel_neighborhood, sensor_location,
+                statics.use_normal_filter, dyn.threshold_voxel_occupancy)
+
+        if cached_planes is None:
+            planes = fresh_gather(None)
+        else:
+            planes = jax.lax.cond(do_gather, fresh_gather,
+                                  lambda _: cached_planes, None)
+        x, y, z, ok_base = planes
         ncount, sum_rel, sum_outer, closest, closest_dist = \
-            vm.ball_search_moments(
-                level, world, valid, radius, dyn.voxel_resolution,
-                nv=statics.voxel_neighborhood,
-                sensor_location=sensor_location,
-                use_normal_filter=statics.use_normal_filter,
-                threshold_voxel_occupancy=dyn.threshold_voxel_occupancy)
+            vm.moments_from_planes(x, y, z, ok_base, world, radius)
         ok = valid & (ncount >= dyn.min_number_neighbors)
         desc = description_from_moments(ncount, sum_rel, sum_outer, world)
         closest_dist = jnp.where(jnp.isfinite(closest_dist), closest_dist, 0.0)
+        cached_planes = planes
     else:
         neigh, nmask, nd = vm.radius_search(
             level, world, valid, radius, dyn.voxel_resolution,
@@ -273,7 +292,8 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
     sel = (rank * cap_c) // n_ok != ((rank - 1) * cap_c) // n_ok
     ok = ok & jnp.where(n_ok > cap, sel, True)
 
-    return anchors, desc.normal, desc.line, cov_inv, geom_w, ok, cls
+    return (anchors, desc.normal, desc.line, cov_inv, geom_w, ok, cls,
+            cached_planes)
 
 
 def _residual_vector(statics, dyn, delta, raw, alphas, anchors, normals, lines,
@@ -427,15 +447,40 @@ def build_register_fn(statics: SolverStatics):
         qe = s3.quat_normalize(qe)
         sensor_location = te  # reference passes &end_t (ct_icp.cpp:592)
 
+        if statics.ball_neighborhood:
+            # candidate-plane cache across ICP iterations: fresh gathers only
+            # for the first dyn.regather_iters iterations (and whenever the
+            # pose moved more than half a voxel since the last gather)
+            k = statics.num_keypoints
+            o = (2 * statics.voxel_neighborhood + 1) ** 3
+            p = level.max_points
+            zero_planes = (jnp.zeros((k, o, p), raw.dtype),
+                           jnp.zeros((k, o, p), raw.dtype),
+                           jnp.zeros((k, o, p), raw.dtype),
+                           jnp.zeros((k, o, p), bool))
+        else:
+            zero_planes = ()
+
         def cond(carry):
-            it, _, _, _, _, _, converged, _, _, _ = carry
+            it, converged = carry[0], carry[6]
             return (it < dyn.num_iters_icp) & ~converged
 
         def body(carry):
-            it, cqb, ctb, cqe, cte, _, _, _, _, _ = carry
-            anchors, normals, lines, cov_inv, geom_w, ok, cls = _build_problem(
-                statics, dyn, level, raw, alphas, valid, cqb, ctb, cqe, cte,
-                sensor_location)
+            (it, cqb, ctb, cqe, cte, _, _, _, _, _, planes,
+             anchor_tr) = carry
+            if statics.ball_neighborhood:
+                moved = jnp.linalg.norm(cte - anchor_tr) \
+                    > 0.5 * dyn.voxel_resolution
+                do_gather = (it < dyn.regather_iters) | moved
+                anchors, normals, lines, cov_inv, geom_w, ok, cls, planes = \
+                    _build_problem(statics, dyn, level, raw, alphas, valid,
+                                   cqb, ctb, cqe, cte, sensor_location,
+                                   cached_planes=planes, do_gather=do_gather)
+                anchor_tr = jnp.where(do_gather, cte, anchor_tr)
+            else:
+                anchors, normals, lines, cov_inv, geom_w, ok, cls, _ = \
+                    _build_problem(statics, dyn, level, raw, alphas, valid,
+                                   cqb, ctb, cqe, cte, sensor_location)
             nqb, ntb, nqe, nte, cost, n_res = _lm_inner_loop(
                 statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
                 geom_w, ok, cls, cqb, ctb, cqe, cte, prior)
@@ -454,12 +499,13 @@ def build_register_fn(statics: SolverStatics):
                          & (diff_trans < dyn.threshold_translation_norm))
             converged = converged | ~enough
             return (it + 1, nqb, ntb, nqe, nte, cost, converged, n_res,
-                    enough, cost)
+                    enough, cost, planes, anchor_tr)
 
         init = (jnp.int32(0), qb, tb, qe, te,
                 jnp.asarray(jnp.inf, raw.dtype), jnp.asarray(False),
-                jnp.int32(0), jnp.asarray(True), jnp.asarray(jnp.inf, raw.dtype))
-        (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough, _) = \
+                jnp.int32(0), jnp.asarray(True), jnp.asarray(jnp.inf, raw.dtype),
+                zero_planes, te + 1e9)
+        (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough, _, _, _) = \
             jax.lax.while_loop(cond, body, init)
 
         return RegistrationResult(

@@ -367,12 +367,18 @@ def _neighbor_offsets(nv: int):
     return jnp.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=-1)  # [O, 3]
 
 
-def _candidate_planes(level: MapLevel, queries, query_valid, radius,
-                      resolution, nv, sensor_location, use_normal_filter,
-                      threshold_voxel_occupancy):
-    """Shared search front-end: gather candidate x/y/z planes + masks.
+def gather_candidate_planes(level: MapLevel, queries, query_valid, resolution,
+                            nv, sensor_location=None,
+                            use_normal_filter: bool = False,
+                            threshold_voxel_occupancy=1):
+    """Search front-end: gather the candidate x/y/z planes + static mask.
 
-    Returns (x, y, z [M, O, P], ok [M, O, P], d2 [M, O, P]).
+    This is the expensive (gather-bound) half of the neighbor search; its
+    output can be CACHED across ICP iterations (pose deltas between
+    iterations are mm-cm — candidate voxel sets barely change) and re-scored
+    cheaply by :func:`moments_from_planes`.
+
+    Returns (x, y, z [M, O, P], ok_base [M, O, P]).
     """
     p = level.max_points
     m = queries.shape[0]
@@ -398,7 +404,57 @@ def _candidate_planes(level: MapLevel, queries, query_valid, radius,
         scal = jnp.sum((sensor_location - queries)[:, None, :] * nrm, axis=-1)
         keep = (flg < 2) | (scal >= 0.0)
         ok = ok & keep[..., None]
+    return x, y, z, ok
 
+
+def moments_from_planes(x, y, z, ok_base, queries, radius):
+    """Scoring half: in-radius moments of cached candidate planes vs the
+    *current* query positions (pure elementwise — cheap to repeat).
+
+    Returns (count, sum_rel, sum_outer, closest, closest_dist)."""
+    m = queries.shape[0]
+    dx = x - queries[:, None, 0:1]
+    dy = y - queries[:, None, 1:2]
+    dz = z - queries[:, None, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
+    radius_arr = radius if jnp.ndim(radius) > 0 else jnp.full((m,), radius)
+    ok = ok_base & (d2 <= (radius_arr ** 2)[:, None, None])
+
+    w = ok.astype(queries.dtype)
+    rx, ry, rz = dx * w, dy * w, dz * w
+    count = jnp.sum(ok, axis=(1, 2))
+    sum_rel = jnp.stack([rx.sum((1, 2)), ry.sum((1, 2)), rz.sum((1, 2))], -1)
+    sum_outer = jnp.stack([
+        jnp.stack([(rx * dx).sum((1, 2)), (rx * dy).sum((1, 2)),
+                   (rx * dz).sum((1, 2))], -1),
+        jnp.stack([(rx * dy).sum((1, 2)), (ry * dy).sum((1, 2)),
+                   (ry * dz).sum((1, 2))], -1),
+        jnp.stack([(rx * dz).sum((1, 2)), (ry * dz).sum((1, 2)),
+                   (rz * dz).sum((1, 2))], -1),
+    ], axis=-2)
+
+    d2m = jnp.where(ok, d2, jnp.inf).reshape(m, -1)
+    amin = jnp.argmin(d2m, axis=-1)
+    cx = jnp.take_along_axis(x.reshape(m, -1), amin[:, None], 1)[:, 0]
+    cy = jnp.take_along_axis(y.reshape(m, -1), amin[:, None], 1)[:, 0]
+    cz = jnp.take_along_axis(z.reshape(m, -1), amin[:, None], 1)[:, 0]
+    closest = jnp.stack([cx, cy, cz], axis=-1)
+    cd2 = jnp.take_along_axis(d2m, amin[:, None], 1)[:, 0]
+    closest_dist = jnp.where(count > 0, jnp.sqrt(cd2), jnp.inf)
+    return count, sum_rel, sum_outer, closest, closest_dist
+
+
+def _candidate_planes(level: MapLevel, queries, query_valid, radius,
+                      resolution, nv, sensor_location, use_normal_filter,
+                      threshold_voxel_occupancy):
+    """Shared search front-end: gather candidate x/y/z planes + masks.
+
+    Returns (x, y, z [M, O, P], ok [M, O, P], d2 [M, O, P]).
+    """
+    m = queries.shape[0]
+    x, y, z, ok = gather_candidate_planes(
+        level, queries, query_valid, resolution, nv, sensor_location,
+        use_normal_filter, threshold_voxel_occupancy)
     dx = x - queries[:, None, 0:1]
     dy = y - queries[:, None, 1:2]
     dz = z - queries[:, None, 2:3]
