@@ -350,10 +350,6 @@ def default_driving_profile() -> OdometryOptions:
             default_radius=0.75),
         neighborhood_strategy=NearestNeighborStrategyOptions(
             max_num_neighbors=20, min_num_neighbors=10),
-        # keypoints at 1.5 m rarely exceed ~2.5k on driving data and the
-        # residual cap is 900 anyway — a tighter static capacity halves the
-        # neighbor-gather volume
-        max_keypoints=2048,
         ct_icp_options=CTICPOptions(
             solver=Solver.CERES,
             num_iters_icp=5,
