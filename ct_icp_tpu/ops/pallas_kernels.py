@@ -1,14 +1,17 @@
-"""Pallas TPU kernels for the scatter/gather-bound hot ops.
+"""Pallas TPU experiments for the scatter-bound dedup op.
 
-XLA's TPU lowering of scatters and row-gathers processes a handful of rows
-per cycle through the scalar core — the voxel-grid dedup of a 131k-point scan
-costs ~30 ms as XLA scatter+gather even though it touches only a few MB. The
-Pallas kernel keeps the claim table in VMEM and runs the whole
-first-wins dedup + compaction as one sequential sweep on-chip (~2 scalar ops
-per point), orders of magnitude less overhead per element.
+Status: measured SLOWER than the XLA path and therefore NOT used in the
+production pipeline. Kept as a documented experiment + test fixture.
 
-Used on TPU only; the XLA path (ops/sampling.py) remains the portable
-fallback (and the semantics oracle for tests).
+Background: the voxel-grid dedup of a 131k-point scan costs ~30 ms through
+XLA's scatter/gather lowering (~230 ns/row through the scalar core). The
+kernel below keeps the claim table in VMEM and runs first-wins dedup +
+compaction as one on-chip sweep — but Mosaic only allows (8,128)-tile-aligned
+VMEM access, so every element costs a ~10-vector-op read-modify-write and the
+sequential sweep lands at ~100 ms for 131k points: the per-iteration loop
+overhead of the scalar core dominates. Conclusion recorded for future rounds:
+beating XLA scatter here needs a fundamentally parallel formulation (e.g.
+grid-parallel partial tables + merge), not a faster sequential sweep.
 """
 
 import functools
@@ -46,52 +49,74 @@ def dedup_compact(h, n_valid, capacity: int, table_log2: int = 21):
     t = 1 << table_log2
     chunk = 8 * 128
 
+    assert n % 1024 == 0 and capacity % 1024 == 0 and t % 1024 == 0
+
     def kernel(h_ref, nv_ref, idx_ref, cnt_ref, table):
-        # init the claim table and the output buffer (vector memsets)
+        # flattened (8,128)-tile ids 0..1023 for lane selects
+        flat_id = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+                   + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+
+        # init the claim table and the output buffer (vector memsets); all
+        # addressing is (8,128)-tile aligned — Mosaic's int32 VMEM granule
         def init_table(c, _):
-            table[pl.ds(c * chunk, chunk)] = jnp.full((chunk,), -1, jnp.int32)
+            table[pl.ds(pl.multiple_of(c * 8, 8), 8), :] = jnp.full(
+                (8, 128), -1, jnp.int32)
             return 0
 
-        jax.lax.fori_loop(0, t // chunk, init_table, 0)
+        jax.lax.fori_loop(0, t // 1024, init_table, 0)
 
         def init_idx(c, _):
-            idx_ref[pl.ds(c * chunk, chunk)] = jnp.zeros((chunk,), jnp.int32)
+            idx_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :] = jnp.zeros(
+                (8, 128), jnp.int32)
             return 0
 
-        jax.lax.fori_loop(0, max(capacity // chunk, 1), init_idx, 0)
-        if capacity % chunk:
-            idx_ref[pl.ds(capacity - capacity % chunk, capacity % chunk)] = \
-                jnp.zeros((capacity % chunk,), jnp.int32)
+        jax.lax.fori_loop(0, capacity // 1024, init_idx, 0)
 
         nv = nv_ref[0]
 
-        # sequential first-wins claim + compaction
-        def body(i, cursor):
-            hi = h_ref[i]
-            cur = table[hi]
-            take = (cur < 0) & (i < nv) & (cursor < capacity)
+        # sequential first-wins claim + compaction. All VMEM accesses are
+        # tile-aligned (8,128) read-modify-writes; scalars come out of the
+        # vectors via flat-id selects.
+        def outer(b, cursor):
+            hblk = h_ref[pl.ds(pl.multiple_of(b * 8, 8), 8), :]   # (8,128)
 
-            @pl.when(take)
-            def _():
-                table[hi] = i
-                idx_ref[cursor] = i
+            def inner(j, cursor):
+                i = b * 1024 + j
+                hi = jnp.sum(jnp.where(flat_id == j, hblk, 0))
+                blk = hi >> 10
+                lane = hi & 1023
+                vec = table[pl.ds(pl.multiple_of(blk * 8, 8), 8), :]
+                cur = jnp.sum(jnp.where(flat_id == lane, vec, 0))
+                take = (cur < 0) & (i < nv) & (cursor < capacity)
 
-            return jnp.where(take, cursor + 1, cursor)
+                @pl.when(take)
+                def _():
+                    table[pl.ds(pl.multiple_of(blk * 8, 8), 8), :] = \
+                        jnp.where(flat_id == lane, i, vec)
+                    cblk = cursor >> 10
+                    clane = cursor & 1023
+                    ovec = idx_ref[pl.ds(pl.multiple_of(cblk * 8, 8), 8), :]
+                    idx_ref[pl.ds(pl.multiple_of(cblk * 8, 8), 8), :] = \
+                        jnp.where(flat_id == clane, i, ovec)
 
-        cursor = jax.lax.fori_loop(0, n, body, jnp.int32(0))
+                return jnp.where(take, cursor + 1, cursor)
+
+            return jax.lax.fori_loop(0, 1024, inner, cursor)
+
+        cursor = jax.lax.fori_loop(0, n // 1024, outer, jnp.int32(0))
         cnt_ref[0] = cursor
 
-    idx, cnt = pl.pallas_call(
+    idx2d, cnt = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((capacity,), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((capacity // 128, 128), jnp.int32),
                    jax.ShapeDtypeStruct((1,), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.VMEM((t,), jnp.int32)],
-    )(h, jnp.asarray(n_valid, jnp.int32).reshape(1))
-    return idx, cnt[0]
+        scratch_shapes=[pltpu.VMEM((t // 128, 128), jnp.int32)],
+    )(h.reshape(n // 128, 128), jnp.asarray(n_valid, jnp.int32).reshape(1))
+    return idx2d.reshape(capacity), cnt[0]
 
 
 def voxel_subsample_indices_pallas(points, valid, voxel_size, capacity,
