@@ -112,13 +112,14 @@ class Odometry:
             self.map_options, options.max_dirty_voxels)
         self._rebase = pl.make_rebase_fn(self.map_options)
 
-        # fused single-dispatch frame step for the non-robust grid path
+        # fused single-dispatch frame step (non-robust path; the robust
+        # regimen reuses it per attempt with insertion deferred)
+        self._fused_available = (options.sampling == SamplingOption.GRID
+                                 and options.max_num_keypoints <= 0)
         self._use_fused = (not options.robust_registration
-                           and options.sampling == SamplingOption.GRID
-                           and options.max_num_keypoints <= 0
-                           and not options.keep_corrected_points)
+                           and self._fused_available)
         self._frame_step = None
-        if self._use_fused:
+        if self._use_fused or self._fused_available:
             self._frame_step = pl.make_frame_step_fn(
                 self.map_options, self.registration.statics,
                 sub_capacity=options.max_subsampled_points,
@@ -528,6 +529,169 @@ class Odometry:
             self._startup_opts_cache[startup] = cached
         return cached
 
+    def _prepare_device_scan(self, xyz, timestamps, info: FrameInfo, prep):
+        """Padded device arrays for the fused step (from prep when given)."""
+        o = self.options
+        if prep is not None:
+            return prep["raw_dev"], prep["alphas_dev"], prep["n"]
+        cap = o.max_scan_points
+        n = xyz.shape[0]
+        if n > cap:
+            sel = self.rng.choice(n, cap, replace=False)
+            xyz, timestamps = xyz[sel], timestamps[sel]
+            n = cap
+        raw = np.zeros((cap, 3), np.float32)
+        raw[:n] = xyz
+        alphas = np.ones((cap,), np.float32)
+        alphas[:n] = self._frame_alphas(timestamps, info)
+        return jnp.asarray(raw), jnp.asarray(alphas), n
+
+    def _pose_init_packed(self, frame: TrajectoryFrame) -> np.ndarray:
+        return np.concatenate([
+            s3n.quat_normalize(frame.begin_pose.quat),
+            frame.begin_pose.tr - self.origin,
+            s3n.quat_normalize(frame.end_pose.quat),
+            frame.end_pose.tr - self.origin]).astype(np.float32)
+
+    def _robust_registration_fused(self, xyz, timestamps, info: FrameInfo,
+                                   summary: RegistrationSummary, prior,
+                                   prep=None):
+        """Robust escalation on top of the fused frame step: each attempt is
+        one dispatch with insertion deferred (force_insert = -1); the final
+        map update goes through the host insertion heuristics
+        (reference RobustRegistration, odometry.cpp:780-852)."""
+        o = self.options
+        k = info.registered_fid
+        raw_dev, alphas_dev, n = self._prepare_device_scan(
+            xyz, timestamps, info, prep)
+
+        attempt_opts = self._effective_icp_options(info)
+        startup = k < o.init_num_frames
+        sample_voxel_size = (o.init_sample_voxel_size if startup
+                             else o.sample_voxel_size)
+        min_voxel_size = min(o.init_voxel_size, o.voxel_size)
+        initial_estimate = summary.frame.copy()
+        robust_level = 0
+        summary.number_of_attempts = 0
+
+        def increase_level():
+            nonlocal attempt_opts, sample_voxel_size, robust_level
+            summary.frame = initial_estimate.copy()
+            attempt_opts = dataclasses.replace(
+                attempt_opts,
+                ls_max_num_iters=attempt_opts.ls_max_num_iters + 30,
+                max_num_residuals=(attempt_opts.max_num_residuals * 2
+                                   if attempt_opts.max_num_residuals > 0
+                                   else attempt_opts.max_num_residuals),
+                num_iters_icp=min(attempt_opts.num_iters_icp + 20, 50),
+                threshold_orientation_norm=max(
+                    attempt_opts.threshold_orientation_norm / 10, 1e-5),
+                threshold_translation_norm=max(
+                    attempt_opts.threshold_orientation_norm / 10, 1e-4),
+                ls_sigma=attempt_opts.ls_sigma * 1.2,
+                max_dist_to_plane_ct_icp=attempt_opts.max_dist_to_plane_ct_icp * 1.5)
+            sample_voxel_size = max(o.sample_voxel_size / 1.5, min_voxel_size)
+            robust_level += 1
+
+        for _ in range(self.next_robust_level):
+            increase_level()
+
+        world_dev = None
+        while True:
+            summary.robust_level = robust_level
+            dyn = self.registration.dynamics(attempt_opts)
+            fs = np.asarray([
+                o.init_voxel_size if startup else o.voxel_size,
+                sample_voxel_size,
+                1e30,  # disable pruning during attempts (a wild intermediate
+                       # pose estimate must not evict valid map points)
+                1.0,
+                -1.0,  # never insert during attempts
+                o.insertion_ego_rotation_threshold, 0.0,
+                o.insertion_threshold_frames_skipped,
+                o.distance_error_threshold, o.orientation_error_threshold,
+            ], dtype=np.float32)
+            self.map_state, packed, kp_dev, world_dev = self._frame_step(
+                self.map_state, raw_dev, alphas_dev, jnp.int32(n),
+                jnp.asarray(self._pose_init_packed(summary.frame)),
+                jnp.asarray(prior), jnp.asarray(dyn), jnp.asarray(fs))
+            r = np.asarray(packed, dtype=np.float64)
+            summary.frame.begin_pose.quat = r[0:4]
+            summary.frame.begin_pose.tr = r[4:7] + self.origin
+            summary.frame.end_pose.quat = r[7:11]
+            summary.frame.end_pose.tr = r[11:14] + self.origin
+            summary.frame.begin_pose.normalize_()
+            summary.frame.end_pose.normalize_()
+            summary.number_of_residuals = int(r[14])
+            summary.sample_size = int(r[19])
+            summary.icp_summary.num_residuals_used = int(r[14])
+            summary.icp_summary.num_iters = int(r[15])
+            summary.icp_summary.success = bool(r[17])
+            summary.success = bool(r[17])
+            summary.keypoints = kp_dev
+            summary.number_of_attempts += 1
+
+            if k > 0:
+                prev = self.trajectory[k - 1]
+                summary.distance_correction = float(np.linalg.norm(
+                    summary.frame.begin_pose.tr - prev.end_pose.tr))
+                summary.relative_orientation = prev.end_pose.angular_distance(
+                    summary.frame.end_pose)
+                summary.ego_orientation = summary.frame.ego_angular_distance()
+            summary.relative_distance = float(np.linalg.norm(
+                summary.frame.end_pose.tr - summary.frame.begin_pose.tr))
+
+            if self._assess_registration(summary):
+                break
+            if summary.number_of_attempts < o.robust_num_attempts:
+                increase_level()
+            else:
+                break
+
+        if summary.number_of_attempts >= o.robust_num_attempts:
+            self.robust_num_consecutive_failures += 1
+        else:
+            self.robust_num_consecutive_failures = 0
+        return world_dev
+
+    def _do_register_robust_fused(self, xyz, timestamps, info: FrameInfo,
+                                  prep=None) -> RegistrationSummary:
+        """Robust regimen driven through the fused frame step: one dispatch
+        per attempt (insertion deferred), host assessment/escalation between
+        attempts, final map update with the robust insertion heuristics."""
+        o = self.options
+        k = info.registered_fid
+        if k == 0:
+            # frame 0: no registration, insert directly (fused step handles it)
+            return self._do_register_fused(xyz, timestamps, info, prep=prep)
+
+        summary = RegistrationSummary()
+        summary.frame = self.trajectory[k].copy()
+        summary.initial_frame = self.trajectory[k].copy()
+
+        if o.with_default_motion_model:
+            self.default_motion_model.options = o.default_motion_model
+            self.default_motion_model.update_state(self.trajectory[k - 1], k - 1)
+            prior = self.default_motion_model.device_prior(self.origin)
+        else:
+            from ct_icp_tpu.config.options import MotionModelOptions
+            zero = dataclasses.replace(
+                MotionModelOptions(), beta_location_consistency=0.0,
+                beta_constant_velocity=0.0, beta_small_velocity=0.0,
+                beta_orientation_consistency=0.0)
+            prior = make_prior(self.trajectory[k - 1], zero, self.origin)
+
+        world_dev = self._robust_registration_fused(
+            xyz, timestamps, info, summary, prior, prep=prep)
+        self.trajectory[k] = summary.frame
+        summary.corrected_points = world_dev
+
+        self._compute_summary_metrics(summary, k)
+        self._update_map_host(summary, world_dev[0], world_dev[1], k)
+        self._maybe_rebase()
+        self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
+        return summary
+
     def _do_register_fused(self, xyz, timestamps, info: FrameInfo,
                            prep=None) -> RegistrationSummary:
         """Single-dispatch frame registration (non-robust path)."""
@@ -593,7 +757,7 @@ class Odometry:
             o.orientation_error_threshold,
         ], dtype=np.float32)
 
-        self.map_state, packed, kp_dev = self._frame_step(
+        self.map_state, packed, kp_dev, world_dev = self._frame_step(
             self.map_state, raw_dev, alphas_dev,
             jnp.int32(n), jnp.asarray(pose_init), jnp.asarray(prior),
             jnp.asarray(dyn), jnp.asarray(frame_scalars))
@@ -615,6 +779,7 @@ class Odometry:
         summary.icp_summary.success = bool(r[17])
         summary.points_added = bool(r[21])
         summary.keypoints = kp_dev
+        summary.corrected_points = world_dev
         summary.logged_values["odometry_num_subsampled"] = int(r[18])
         summary.logged_values["map_inserted_points"] = int(r[20])
         self._compute_summary_metrics(summary, k)
@@ -638,6 +803,9 @@ class Odometry:
         """Reference DoRegister (odometry.cpp:386-501)."""
         if self._use_fused:
             return self._do_register_fused(xyz, timestamps, info, prep=prep)
+        if self.options.robust_registration and self._fused_available:
+            return self._do_register_robust_fused(xyz, timestamps, info,
+                                                  prep=prep)
         o = self.options
         k = info.registered_fid
         sub_raw, sub_alphas, sub_valid, sub_count = self._initialize_frame(

@@ -185,10 +185,10 @@ def make_frame_step_fn(map_options, statics, sub_capacity: int,
             f32(result.converged), f32(result.valid_problem),
             f32(sub_cnt), f32(kp_cnt), f32(inserted), f32(add),
             f32(assess_ok), jnp.zeros(1, jnp.float32)])
-        # keypoint arrays stay on device (free unless a consumer — e.g. the
-        # CT-BA backend — actually reads them)
+        # keypoint/world arrays stay on device (free unless a consumer — the
+        # CT-BA backend, or the robust path's deferred insertion — reads them)
         return (vm.MapState(levels=tuple(new_levels)), packed,
-                (kp_raw, kp_alphas, kp_valid))
+                (kp_raw, kp_alphas, kp_valid), (world, sub_valid))
 
     return frame_step
 

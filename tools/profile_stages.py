@@ -70,7 +70,7 @@ def main():
 
     def fused():
         # non-donating copy so we can repeat
-        ms, packed = odo._frame_step(
+        ms, packed, *_ = odo._frame_step(
             jax.tree_util.tree_map(lambda x: x + 0 if x.dtype != bool else x,
                                    odo.map_state),
             prep["raw_dev"], prep["alphas_dev"], jnp.int32(prep["n"]),
