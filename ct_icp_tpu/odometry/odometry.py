@@ -128,6 +128,10 @@ class Odometry:
                     options.motion_compensation
                     == MotionCompensation.CONSTANT_VELOCITY))
         self._startup_opts_cache = {}
+        # streaming-mode state (built lazily on first stream_frames call)
+        self._stream_step = None
+        self._stream_rebase = None
+        self._odo_state = None
 
         self.default_motion_model = PreviousFrameMotionModel(
             options.default_motion_model)
@@ -235,6 +239,133 @@ class Odometry:
         summary.logged_values["odometry_total"] = (time.time() - t_start) * 1e3
         return summary
 
+    # ------------------------------------------------------- streaming mode —
+    def stream_frames(self, preps):
+        """Register prepared frames with one-frame pipelining (generator).
+
+        TPU-native streaming: motion initialization, the motion-model prior
+        and the insertion tracker live in device state
+        (pipeline.make_streaming_step_fn), so frame k is DISPATCHED before
+        frame k-1's result is read — the host-side sync/dispatch overhead
+        (comparable to device compute per frame) overlaps device execution
+        and throughput approaches pure device time.
+
+        ``preps`` iterates prepare_frame dicts in registration order. Yields
+        one RegistrationSummary per frame, each one frame behind its
+        dispatch. Requires the fused non-robust path.
+        """
+        o = self.options
+        assert self._use_fused, "streaming requires the fused non-robust path"
+        if self._stream_step is None:
+            self._stream_step = pl.make_streaming_step_fn(
+                self.map_options, self.registration.statics,
+                sub_capacity=o.max_subsampled_points,
+                max_dirty=o.max_dirty_voxels,
+                distort_constant_velocity=(
+                    o.motion_compensation
+                    == MotionCompensation.CONSTANT_VELOCITY),
+                const_velocity=(o.initialization
+                                == Initialization.INIT_CONSTANT_VELOCITY),
+                continuous=(o.motion_compensation
+                            == MotionCompensation.CONTINUOUS),
+                always_insert=o.always_insert,
+                do_no_insert=o.do_no_insert)
+            self._stream_rebase = pl.make_stream_rebase_fn(self.map_options)
+        if self._odo_state is None:
+            self._odo_state = jnp.asarray(pl.init_odo_state())
+
+        mm = o.default_motion_model
+        if o.with_default_motion_model:
+            betas = np.asarray([mm.beta_location_consistency,
+                                mm.beta_orientation_consistency,
+                                mm.beta_constant_velocity,
+                                mm.beta_small_velocity], np.float32)
+        else:
+            betas = np.zeros(4, np.float32)
+        betas_dev = jnp.asarray(betas)
+
+        pending = None
+        for prep in preps:
+            info = prep["info"]
+            assert info.registered_fid == self.registered_frames, \
+                "Prepared frames must be streamed in order"
+            self.registered_frames += 1
+            k = info.registered_fid
+            startup = k < o.init_num_frames
+            dyn = self.registration.dynamics(self._effective_icp_options(info))
+            fs = np.asarray([
+                o.init_voxel_size if startup else o.voxel_size,
+                o.init_sample_voxel_size if startup else o.sample_voxel_size,
+                o.max_distance, 0.0, 0.0,
+                o.insertion_ego_rotation_threshold, 0.0,
+                o.insertion_threshold_frames_skipped,
+                o.distance_error_threshold,
+                o.orientation_error_threshold,
+            ], dtype=np.float32)
+            self.map_state, self._odo_state, packed, kp, world = \
+                self._stream_step(self.map_state, self._odo_state,
+                                  prep["raw_dev"], prep["alphas_dev"],
+                                  jnp.int32(prep["n"]), betas_dev,
+                                  jnp.asarray(dyn), jnp.asarray(fs))
+            if pending is not None:
+                yield self._finish_streamed(*pending)
+            pending = (info, packed, kp, world, self.origin.copy())
+        if pending is not None:
+            yield self._finish_streamed(*pending)
+
+    def _finish_streamed(self, info, packed, kp, world,
+                         origin) -> RegistrationSummary:
+        """Host bookkeeping for a streamed frame (runs one frame behind)."""
+        k = info.registered_fid
+        r = np.asarray(packed, dtype=np.float64)
+        frame = TrajectoryFrame(
+            Pose(timestamp=info.begin_timestamp, frame_id=info.frame_id),
+            Pose(timestamp=info.end_timestamp, frame_id=info.frame_id))
+        frame.begin_pose.quat = r[0:4]
+        frame.begin_pose.tr = r[4:7] + origin
+        frame.end_pose.quat = r[7:11]
+        frame.end_pose.tr = r[11:14] + origin
+        frame.begin_pose.normalize_()
+        frame.end_pose.normalize_()
+        self.trajectory.append(frame)
+
+        summary = RegistrationSummary()
+        summary.frame = frame
+        summary.initial_frame = frame.copy()
+        summary.number_of_residuals = int(r[14])
+        summary.sample_size = int(r[19])
+        summary.icp_summary.num_residuals_used = int(r[14])
+        summary.icp_summary.num_iters = int(r[15])
+        summary.icp_summary.success = bool(r[17])
+        summary.points_added = bool(r[21])
+        summary.keypoints = kp
+        summary.corrected_points = world
+        summary.logged_values["odometry_num_subsampled"] = int(r[18])
+        summary.logged_values["map_inserted_points"] = int(r[20])
+        self._compute_summary_metrics(summary, k)
+        assess_ok = bool(r[22])
+        summary.success = bool(r[17]) and (assess_ok or k == 0)
+        if not summary.success and not assess_ok:
+            summary.error_message = "Registration assessment failed"
+
+        tracker = self.insertion_tracker   # host mirror (device authoritative)
+        tracker.cum_orientation_change_since_insertion += summary.relative_orientation
+        tracker.cum_distance_since_insertion += summary.relative_distance
+        if summary.points_added:
+            tracker.insert_frame(k)
+        else:
+            tracker.skip_frame()
+
+        pos = frame.end_pose.tr
+        if np.linalg.norm(pos - self.origin) > self.rebase_distance:
+            shift = (pos - self.origin).astype(np.float64)
+            self.map_state, self._odo_state = self._stream_rebase(
+                self.map_state, self._odo_state,
+                jnp.asarray(shift, jnp.float32))
+            self.origin = self.origin + shift
+        self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
+        return summary
+
     def get_trajectory(self) -> List[TrajectoryFrame]:
         return [f.copy() for f in self.trajectory]
 
@@ -265,6 +396,7 @@ class Odometry:
             return
         self.map_state = vm.make_map(self.map_options)
         self.origin = np.zeros(3, dtype=np.float64)
+        self._odo_state = None
         self.trajectory = []
         self.registered_frames = 0
         self.robust_num_consecutive_failures = 0

@@ -93,15 +93,46 @@ def make_update_map_fn(map_options, max_dirty: int):
     return update_map
 
 
-def make_frame_step_fn(map_options, statics, sub_capacity: int,
-                       max_dirty: int, distort_constant_velocity: bool):
-    """One fused XLA program for a whole odometry frame (non-robust path).
+def _ladder(count, rungs, fn):
+    """Run ``fn(size)`` for the smallest rung >= ``count`` (``rungs``
+    ascending; the last rung must cover the full capacity).
 
-    subsample -> keypoint grid sampling -> CT registration -> world transform
-    -> insertion decision -> prune+insert, all in a single dispatch with the
-    map donated. The host exchanges only: the scan upload, three packed
-    vectors in, and one packed result vector out — the design target for a
-    device behind a high-latency link.
+    Capacity laddering: scatter/gather stages cost ~per padded row on TPU
+    (the scalar core processes masked rows too), so running each stage on the
+    smallest power-of-two prefix that holds the live count cuts its cost by
+    the padding factor. Valid because every stage input is packed (live
+    entries first). All branches produce identical shapes; XLA executes only
+    the taken branch at runtime.
+    """
+    def build(i):
+        if i == len(rungs) - 1:
+            return lambda: fn(rungs[i])
+        return lambda: jax.lax.cond(count <= rungs[i],
+                                    lambda: fn(rungs[i]), build(i + 1))
+    return build(0)()
+
+
+def _rungs(cap: int, smallest: int):
+    out = []
+    r = smallest
+    while r < cap:
+        out.append(r)
+        r *= 4
+    out.append(cap)
+    return out
+
+
+def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
+                     distort_constant_velocity: bool):
+    """Traceable body of one odometry frame (shared by the fused and the
+    streaming step): subsample -> keypoint grid sampling -> CT registration
+    -> world transform -> assessment -> insertion decision -> prune+insert.
+
+    Every stage is capacity-laddered (see :func:`_ladder`): the scan prefix
+    feeds subsampling, the subsample prefix feeds keypoint sampling and map
+    insertion, and the keypoint prefix feeds the solver (which carries the
+    gather-bound candidate planes) — so a frame pays for the points it has,
+    not for the static worst-case shapes.
 
     frame_scalars layout (f32[10]):
       0 voxel_size          1 sample_voxel_size    2 max_distance
@@ -109,45 +140,63 @@ def make_frame_step_fn(map_options, statics, sub_capacity: int,
       5 insertion_ego_rotation_threshold   6 skipped_frames
       7 insertion_threshold_frames_skipped 8 distance_error_threshold
       9 orientation_error_threshold
+    In the streaming step entries 3/4/6 are overridden from device state.
 
-    result layout (f32[24]):
+    packed result layout (f32[24]):
       0:4 quat_begin  4:7 tr_begin  7:11 quat_end  11:14 tr_end
       14 num_residuals 15 num_iters 16 converged 17 valid_problem
       18 sub_count 19 kp_count 20 inserted 21 points_added 22 assess_ok
     """
+    import dataclasses as _dc
+
     import jax.numpy as jnp
     from ct_icp_tpu.core import se3 as s3
     from ct_icp_tpu.icp import solver as slv
+    from ct_icp_tpu.ops import sampling as smp
 
     resolutions = tuple(r.resolution for r in map_options.resolutions)
     min_dists = tuple(r.min_distance_between_points for r in map_options.resolutions)
-    register = slv.build_register_fn(statics)
     kp_capacity = statics.num_keypoints
+    kp_rungs = _rungs(kp_capacity, max(kp_capacity // 2, 1024))
+    registers = {sz: slv.build_register_fn(
+        _dc.replace(statics, num_keypoints=sz)) for sz in kp_rungs}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def frame_step(map_state, raw, alphas, n_points, pose_init, prior,
-                   dyn_packed, frame_scalars):
+    def core(map_state, raw, alphas, n_points, qb0, tb0, qe0, te0, prior,
+             dyn_packed, fs, do_register, force_insert, skipped_frames):
         n = raw.shape[0]
         valid = jnp.arange(n, dtype=jnp.int32) < n_points
-        fs = frame_scalars
-        qb0, tb0 = pose_init[0:4], pose_init[4:7]
-        qe0, te0 = pose_init[7:11], pose_init[11:14]
 
-        sub_raw, sub_alphas, sub_valid, sub_cnt = preprocess(
-            raw, alphas, valid, fs[0], sub_capacity)
+        def do_preprocess(sz):
+            idx, ok, cnt = smp.voxel_subsample_indices(
+                raw[:sz], valid[:sz], fs[0], sub_capacity)
+            return raw[idx], alphas[idx], ok, cnt
+
+        sub_raw, sub_alphas, sub_valid, sub_cnt = _ladder(
+            n_points, _rungs(n, 32768), do_preprocess)
         if distort_constant_velocity:
             sub_raw = distort_raw(sub_raw, sub_alphas, qb0, tb0, qe0, te0)
 
-        kp_raw, kp_alphas, kp_valid, kp_cnt = sample_keypoints(
-            sub_raw, sub_alphas, sub_valid, fs[1], kp_capacity)
+        sub_rungs = _rungs(sub_capacity, 16384)
+
+        def do_sample(sz):
+            idx, ok, cnt = smp.voxel_subsample_indices(
+                sub_raw[:sz], sub_valid[:sz], fs[1], kp_capacity)
+            return sub_raw[idx], sub_alphas[idx], ok, cnt
+
+        kp_raw, kp_alphas, kp_valid, kp_cnt = _ladder(
+            sub_cnt, sub_rungs, do_sample)
 
         # do_register==0 (frame 0): zero solver iterations, poses pass through
         dyn_eff = jnp.where(
             jnp.arange(dyn_packed.shape[0]) == 0,
-            jnp.where(fs[3] > 0, dyn_packed[0], 0.0), dyn_packed)
-        result = register(map_state.levels[statics.level_index],
-                          kp_raw, kp_alphas, kp_valid,
-                          qb0, tb0, qe0, te0, prior, dyn_eff)
+            jnp.where(do_register > 0, dyn_packed[0], 0.0), dyn_packed)
+
+        def run_register(sz):
+            return registers[sz](map_state.levels[statics.level_index],
+                                 kp_raw[:sz], kp_alphas[:sz], kp_valid[:sz],
+                                 qb0, tb0, qe0, te0, prior, dyn_eff)
+
+        result = _ladder(kp_cnt, kp_rungs, run_register)
         qb, tb = result.quat_begin, result.tr_begin
         qe, te = result.quat_end, result.tr_end
 
@@ -158,25 +207,30 @@ def make_frame_step_fn(map_options, statics, sub_capacity: int,
         ego_or = s3.angular_distance_deg(qb, qe)
         rel_or = s3.angular_distance_deg(prior[0:4], qe)
         assess_ok = ((rel_dist <= fs[8]) & (rel_or <= fs[9]) & (ego_or <= fs[9])
-                     & result.valid_problem) | (fs[3] <= 0)
+                     & result.valid_problem) | (do_register <= 0)
 
         # ---- insertion decision (reference UpdateMap, odometry.cpp:918-933)
         heuristic_add = jnp.where(
-            ego_or > fs[5], fs[6] > fs[7], True)
-        add = jnp.where(fs[4] < 0, False,
-                        jnp.where(fs[4] > 0, True, heuristic_add))
+            ego_or > fs[5], skipped_frames > fs[7], True)
+        add = jnp.where(force_insert < 0, False,
+                        jnp.where(force_insert > 0, True, heuristic_add))
         add = add & assess_ok
 
-        new_levels = []
-        inserted = jnp.int32(0)
         location = te
-        for i, level in enumerate(map_state.levels):
-            level = vm.prune_level(level, location, fs[2])
-            lvl, cnt = vm.insert_points(
-                level, world, sub_valid & add, resolutions[i], min_dists[i],
-                tb, max_dirty)
-            inserted = inserted + cnt
-            new_levels.append(lvl)
+
+        def do_insert(sz):
+            new_levels = []
+            inserted = jnp.int32(0)
+            w, v = world[:sz], (sub_valid & add)[:sz]
+            for i, level in enumerate(map_state.levels):
+                level = vm.prune_level(level, location, fs[2])
+                lvl, cnt = vm.insert_points(
+                    level, w, v, resolutions[i], min_dists[i], tb, max_dirty)
+                inserted = inserted + cnt
+                new_levels.append(lvl)
+            return tuple(new_levels), inserted
+
+        new_levels, inserted = _ladder(sub_cnt, sub_rungs, do_insert)
 
         f32 = lambda v: jnp.asarray(v, jnp.float32).reshape(-1)
         packed = jnp.concatenate([
@@ -187,10 +241,146 @@ def make_frame_step_fn(map_options, statics, sub_capacity: int,
             f32(assess_ok), jnp.zeros(1, jnp.float32)])
         # keypoint/world arrays stay on device (free unless a consumer — the
         # CT-BA backend, or the robust path's deferred insertion — reads them)
-        return (vm.MapState(levels=tuple(new_levels)), packed,
-                (kp_raw, kp_alphas, kp_valid), (world, sub_valid))
+        return (new_levels, packed,
+                (kp_raw, kp_alphas, kp_valid), (world, sub_valid), add)
+
+    return core
+
+
+def make_frame_step_fn(map_options, statics, sub_capacity: int,
+                       max_dirty: int, distort_constant_velocity: bool):
+    """One fused XLA program for a whole odometry frame (non-robust path).
+
+    Single dispatch with the map donated: the host exchanges only the scan
+    upload, three packed vectors in, and one packed result vector out — the
+    design target for a device behind a high-latency link. See
+    :func:`_make_frame_core` for the body and scalar layouts.
+    """
+    core = _make_frame_core(map_options, statics, sub_capacity, max_dirty,
+                            distort_constant_velocity)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def frame_step(map_state, raw, alphas, n_points, pose_init, prior,
+                   dyn_packed, frame_scalars):
+        fs = frame_scalars
+        new_levels, packed, kp, world, _ = core(
+            map_state, raw, alphas, n_points,
+            pose_init[0:4], pose_init[4:7], pose_init[7:11], pose_init[11:14],
+            prior, dyn_packed, fs, fs[3], fs[4], fs[6])
+        return vm.MapState(levels=tuple(new_levels)), packed, kp, world
 
     return frame_step
+
+
+# odo_state layout for the streaming step (f32[32]):
+#   0:4  prev_begin_quat    4:7  prev_begin_tr
+#   7:11 prev_end_quat     11:14 prev_end_tr
+#  14:18 prev2_begin_quat  18:21 prev2_begin_tr
+#  21:25 prev2_end_quat    25:28 prev2_end_tr
+#  28 registered_fid  29 skipped_frames  30 total_insertions  31 unused
+ODO_STATE_SIZE = 32
+
+
+def init_odo_state():
+    import numpy as np
+    s = np.zeros(ODO_STATE_SIZE, np.float32)
+    s[0] = s[7] = s[14] = s[21] = 1.0  # identity quaternions
+    return s
+
+
+def make_streaming_step_fn(map_options, statics, sub_capacity: int,
+                           max_dirty: int, distort_constant_velocity: bool,
+                           const_velocity: bool, continuous: bool,
+                           always_insert: bool, do_no_insert: bool):
+    """Device-resident odometry step: motion initialization, motion-model
+    prior and the insertion tracker live in device state (``odo_state``), so
+    dispatching frame k needs NOTHING from frame k-1's results on the host.
+
+    The host loop can therefore enqueue frame k while reading frame k-1's
+    packed result — the per-frame host/dispatch sync overhead (which is
+    comparable to the device compute itself) disappears, and throughput
+    approaches pure device time. Returns
+      (map_state, odo_state, packed, kp, world).
+    Poses in odo_state/packed are in the map frame; the host tracks the
+    float64 origin per dispatch (see odometry.Odometry.stream_frames).
+    """
+    import jax.numpy as jnp
+    from ct_icp_tpu.core import se3 as s3
+
+    core = _make_frame_core(map_options, statics, sub_capacity, max_dirty,
+                            distort_constant_velocity)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def stream_step(map_state, odo_state, raw, alphas, n_points, prior_betas,
+                    dyn_packed, frame_scalars):
+        s = odo_state
+        pb_q, pb_t = s[0:4], s[4:7]
+        pe_q, pe_t = s[7:11], s[11:14]
+        p2b_q, p2b_t = s[14:18], s[18:21]
+        p2e_q, p2e_t = s[21:25], s[25:28]
+        k = s[28]
+        skipped = s[29]
+        total_ins = s[30]
+
+        # ---- motion initialization (reference InitializeMotion,
+        # odometry.cpp:276-330) from device state
+        ident_q = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
+        ident_t = jnp.zeros(3, jnp.float32)
+        # end-pose extrapolation: prev_end * (prev2_end^-1 * prev_end)
+        rel_q, rel_t = s3.se3_compose(*s3.se3_inverse(p2e_q, p2e_t),
+                                      pe_q, pe_t)
+        ext_q, ext_t = s3.se3_compose(pe_q, pe_t, rel_q, rel_t)
+        if const_velocity:
+            if continuous:
+                # begin extrapolated from the begin poses (k >= 3)
+                rb_q, rb_t = s3.se3_compose(*s3.se3_inverse(p2b_q, p2b_t),
+                                            pb_q, pb_t)
+                b3_q, b3_t = s3.se3_compose(pb_q, pb_t, rb_q, rb_t)
+            else:
+                b3_q, b3_t = pe_q, pe_t
+            # k == 2 uses begin = prev_end for both parametrizations
+            qb0 = jnp.where(k <= 1.5, ident_q,
+                            jnp.where(k <= 2.5, pe_q, b3_q))
+            tb0 = jnp.where(k <= 1.5, ident_t,
+                            jnp.where(k <= 2.5, pe_t, b3_t))
+            qe0 = jnp.where(k <= 1.5, ident_q, ext_q)
+            te0 = jnp.where(k <= 1.5, ident_t, ext_t)
+        else:
+            qb0 = jnp.where(k <= 1.5, ident_q, pe_q)
+            tb0 = jnp.where(k <= 1.5, ident_t, pe_t)
+            qe0, te0 = qb0, tb0
+        qb0 = s3.quat_normalize(qb0)
+        qe0 = s3.quat_normalize(qe0)
+
+        # ---- motion-model prior (registration.make_prior layout)
+        prior = jnp.concatenate([pe_q, pe_t, pe_t - pb_t, prior_betas])
+
+        do_register = (k > 0.5).astype(jnp.float32)
+        if do_no_insert:
+            force_insert = jnp.float32(-1.0)
+        elif always_insert:
+            force_insert = jnp.float32(1.0)
+        else:
+            force_insert = jnp.where(total_ins < 0.5, 1.0, 0.0)
+
+        new_levels, packed, kp, world, add = core(
+            map_state, raw, alphas, n_points, qb0, tb0, qe0, te0,
+            prior, dyn_packed, frame_scalars, do_register, force_insert,
+            skipped)
+
+        # ---- tracker + state update
+        new_skipped = jnp.where(add, 0.0, skipped + 1.0)
+        new_total = total_ins + add.astype(jnp.float32)
+        new_state = jnp.concatenate([
+            packed[0:14],                  # optimized poses -> prev
+            pb_q, pb_t, pe_q, pe_t,        # old prev -> prev2
+            jnp.stack([k + 1.0, new_skipped, new_total,
+                       jnp.float32(0.0)]),
+        ])
+        return (vm.MapState(levels=tuple(new_levels)), new_state, packed,
+                kp, world)
+
+    return stream_step
 
 
 def make_rebase_fn(map_options):
@@ -201,5 +391,24 @@ def make_rebase_fn(map_options):
         return vm.MapState(levels=tuple(
             vm.rebuild_level(lvl, shift, resolutions[i])
             for i, lvl in enumerate(map_state.levels)))
+
+    return rebase
+
+
+def make_stream_rebase_fn(map_options):
+    """Rebase for the streaming path: shifts the map AND the pose
+    translations carried in odo_state."""
+    resolutions = tuple(r.resolution for r in map_options.resolutions)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def rebase(map_state, odo_state, shift):
+        new_map = vm.MapState(levels=tuple(
+            vm.rebuild_level(lvl, shift, resolutions[i])
+            for i, lvl in enumerate(map_state.levels)))
+        tr_mask = jnp.zeros((ODO_STATE_SIZE, 3), jnp.float32)
+        for base in (4, 11, 18, 25):
+            tr_mask = tr_mask.at[base:base + 3].set(jnp.eye(3))
+        new_state = odo_state - tr_mask @ shift
+        return new_map, new_state
 
     return rebase

@@ -114,10 +114,21 @@ class OdometryRunner:
 
         prepared = PrefetchIterator(enumerate(seq), depth=2,
                                     transform=_prepare)
-        for prep in prepared:
-            t0 = time.time()
-            summary = odo.register_frame_prepared(prep)
-            runtimes.append(time.time() - t0)
+
+        def summaries():
+            if getattr(odo, "_use_fused", False):
+                # streaming: dispatch frame k before reading k-1's result
+                # (device-resident motion init/tracker, odometry.stream_frames)
+                yield from odo.stream_frames(prepared)
+            else:
+                for prep in prepared:
+                    yield odo.register_frame_prepared(prep)
+
+        t_prev = time.time()
+        for summary in summaries():
+            now = time.time()
+            runtimes.append(now - t_prev)
+            t_prev = now
             if not summary.success:
                 print(f"[{name}] frame {fid} FAILED: {summary.error_message}",
                       file=sys.stderr)

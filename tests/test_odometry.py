@@ -119,3 +119,29 @@ def test_insertion_tracker_and_map_growth():
     s1 = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=1)
     assert odo.map_size() >= size0
     assert len(odo.get_trajectory()) == 2
+
+
+@pytest.mark.slow
+def test_streaming_matches_register_frame():
+    """Streaming mode (device-resident motion init + tracker, 1-frame
+    pipelining) must track the frame-by-frame API closely (device motion
+    init is float32; the hosted path extrapolates in float64)."""
+    acq = make_acquisition(seed=3)
+    n = 12
+    frames = [acq.frame(i) for i in range(n)]
+
+    odo_a = Odometry(small_options())
+    for i, fr in enumerate(frames):
+        s = odo_a.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        assert s.success
+    odo_b = Odometry(small_options())
+    preps = (odo_b.prepare_frame(fr["xyz"], fr["timestamps"], i)
+             for i, fr in enumerate(frames))
+    summaries = list(odo_b.stream_frames(preps))
+    assert len(summaries) == n
+    assert all(s.success for s in summaries)
+    ta, tb = odo_a.get_trajectory(), odo_b.get_trajectory()
+    assert len(tb) == n
+    for a, b in zip(ta, tb):
+        assert a.end_pose.location_distance(b.end_pose) < 0.02
+        assert a.end_pose.angular_distance(b.end_pose) < 0.5
