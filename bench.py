@@ -93,8 +93,6 @@ def main():
 
     odo = Odometry(default_driving_profile())
 
-    from ct_icp_tpu.odometry.concurrent import PrefetchIterator
-
     def _prepare(item):
         i, fr = item
         return odo.prepare_frame(fr["xyz"], fr["timestamps"],
@@ -105,7 +103,12 @@ def main():
     failures = 0
     timed = 0
     t_start = None
-    prepared = PrefetchIterator(enumerate(frames), depth=2, transform=_prepare)
+    # prefetch worker: the scan upload (~0.5 MB u16-packed) serializes with
+    # the dispatch loop if done inline; a depth-2 worker overlaps it with
+    # device compute (measured: inline 60.6 ms, worker 53.6 @f32 wire)
+    from ct_icp_tpu.odometry.concurrent import PrefetchIterator
+    prepared = PrefetchIterator(enumerate(frames), depth=2,
+                                transform=_prepare)
     for i, summary in enumerate(odo.stream_frames(prepared)):
         if i == warmup - 1:
             t_start = time.time()

@@ -14,7 +14,10 @@ same factor in bandwidth. Therefore:
                           32-bit hash of the voxel coords (identity check by
                           hash; collision probability ~2^-32 per chain)
     count   int32[C]
-    points  f32[C, P*3]   xyz interleaved per row -> rows are 128-lane-sized
+    points  f32[C, 3P]    PLANAR per row: x-plane | y-plane | z-plane, so
+                          plane extraction is a contiguous slice (interleaved
+                          xyz needs stride-3 cross-lane shuffles — measured
+                          ~10 ms per candidate search)
     normals f32[C, 3]     per-voxel normal (small, cold)
     nflags  int32[C]      0 none, 1 computed, 2 computed+oriented
 
@@ -100,8 +103,15 @@ def make_map(options: MultiResolutionVoxelMapOptions) -> MapState:
 
 
 def _xyz_planes(rows, p):
-    """[..., P*3] interleaved rows -> (x, y, z) planes [..., P]."""
-    return rows[..., 0::3], rows[..., 1::3], rows[..., 2::3]
+    """[..., 3P] planar rows -> (x, y, z) planes [..., P] (contiguous
+    slices — an interleaved x0,y0,z0,... layout needs stride-3 cross-lane
+    shuffles on every access, which measured ~10 ms per search)."""
+    return rows[..., 0:p], rows[..., p:2 * p], rows[..., 2 * p:3 * p]
+
+
+def _first_point(points, p):
+    """[C, 3P] planar rows -> first stored point of each voxel [C, 3]."""
+    return jnp.stack([points[:, 0], points[:, p], points[:, 2 * p]], axis=-1)
 
 
 # ------------------------------------------------------------------ lookup —
@@ -164,9 +174,13 @@ def _resolve_or_claim_slots(keys_table, pt_keys, h, valid):
     assigned = jnp.where(any_hit, found, -1)
     resolved = any_hit
 
-    def claim_body(r, carry):
-        table, assigned, resolved = carry
-        s = ((h + jnp.uint32(r)) & mask_u).astype(jnp.int32)
+    def claim_cond(carry):
+        r, _, _, resolved = carry
+        return (r < MAX_PROBES) & ~jnp.all(resolved | ~valid)
+
+    def claim_body(carry):
+        r, table, assigned, resolved = carry
+        s = ((h + r.astype(jnp.uint32)) & mask_u).astype(jnp.int32)
         key = table[s]
         claimable = key <= TOMB
         newly = ~resolved & valid & (key == pt_keys)
@@ -184,10 +198,14 @@ def _resolve_or_claim_slots(keys_table, pt_keys, h, valid):
         got = ~resolved & valid & (key2 == pt_keys)
         assigned = jnp.where(got, s, assigned)
         resolved = resolved | got
-        return table, assigned, resolved
+        return r + 1, table, assigned, resolved
 
-    table, assigned, resolved = jax.lax.fori_loop(
-        0, MAX_PROBES, claim_body, (keys_table, assigned, resolved))
+    # while_loop with an all-resolved early exit: nearly every batch resolves
+    # within the first 1-3 probe rounds, so the worst-case MAX_PROBES rounds
+    # of scatter/gather are almost never paid
+    _, table, assigned, resolved = jax.lax.while_loop(
+        claim_cond, claim_body,
+        (jnp.int32(0), keys_table, assigned, resolved))
     return table, assigned, resolved & valid
 
 
@@ -245,12 +263,12 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
     pos = ecount + rank
     accept = eligible & (pos < p)
 
-    base = slot * (p * 3) + pos * 3
+    base = slot * (p * 3) + pos
     flat = level.points.reshape(-1)
     oob = c * p * 3
     flat = flat.at[jnp.where(accept, base, oob)].set(pts[:, 0], mode="drop")
-    flat = flat.at[jnp.where(accept, base + 1, oob)].set(pts[:, 1], mode="drop")
-    flat = flat.at[jnp.where(accept, base + 2, oob)].set(pts[:, 2], mode="drop")
+    flat = flat.at[jnp.where(accept, base + p, oob)].set(pts[:, 1], mode="drop")
+    flat = flat.at[jnp.where(accept, base + 2 * p, oob)].set(pts[:, 2], mode="drop")
     new_points = flat.reshape(c, p * 3)
     add = jnp.zeros((c,), jnp.int32).at[jnp.where(accept, slot, c)].add(
         1, mode="drop")
@@ -303,7 +321,7 @@ def prune_level(level: MapLevel, location, max_distance):
     ``location`` (reference RemoveElementsFarFromLocation, map.h:305-322).
     Dropped slots become tombstones (probe chains stay intact)."""
     occupied = level.keys > TOMB
-    first = level.points[:, 0:3]
+    first = _first_point(level.points, level.max_points)
     d2 = jnp.sum((first - location) ** 2, axis=-1)
     drop = occupied & (d2 > max_distance * max_distance)
     new_keys = jnp.where(drop, TOMB, level.keys)
@@ -327,9 +345,9 @@ def rebuild_level(level: MapLevel, shift_xyz, resolution):
     truncation-voxelization artifact) lose the arbitration and are dropped."""
     c, p = level.capacity, level.max_points
     occupied = (level.keys > TOMB) & (level.count > 0)
-    shift_row = jnp.tile(jnp.asarray(shift_xyz, level.points.dtype), p)
+    shift_row = jnp.repeat(jnp.asarray(shift_xyz, level.points.dtype), p)
     new_points = level.points - shift_row
-    derived = vx.voxel_coords(new_points[:, 0:3], resolution)
+    derived = vx.voxel_coords(_first_point(new_points, p), resolution)
     h = vx.voxel_hash_u32(derived)
     keys = voxel_key_u32(derived)
 

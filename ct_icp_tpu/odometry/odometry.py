@@ -187,14 +187,14 @@ class Odometry:
                 n, cap, replace=False)
             xyz, timestamps = xyz[sel], timestamps[sel]
             n = cap
-        raw = np.zeros((cap, 3), np.float32)
-        raw[:n] = xyz
-        alphas = np.ones((cap,), np.float32)
-        alphas[:n] = self._frame_alphas(timestamps, info)
+        alphas = self._frame_alphas(timestamps, info)
+        # quantized wire format, padded to the smallest upload rung — the
+        # scan upload dominates wall time on bandwidth-limited device links
+        rung = pl.scan_rung(cap, n)
+        packed = pl.pack_scan_u16(xyz, alphas, n, rung)
         return {
             "info": info, "n": n,
-            "raw_dev": jnp.asarray(raw),
-            "alphas_dev": jnp.asarray(alphas),
+            "scan_dev": jnp.asarray(packed),
             "xyz": xyz, "timestamps": timestamps,
         }
 
@@ -284,8 +284,18 @@ class Odometry:
             betas = np.zeros(4, np.float32)
         betas_dev = jnp.asarray(betas)
 
+        import os
+        debug = bool(os.environ.get("CT_STREAM_DEBUG"))
+        phases = {"pull": 0.0, "dispatch": 0.0, "finish": 0.0, "frames": 0}
+
         pending = None
-        for prep in preps:
+        preps_it = iter(preps)
+        while True:
+            t0 = time.time()
+            prep = next(preps_it, None)
+            phases["pull"] += time.time() - t0
+            if prep is None:
+                break
             info = prep["info"]
             assert info.registered_fid == self.registered_frames, \
                 "Prepared frames must be streamed in order"
@@ -302,16 +312,27 @@ class Odometry:
                 o.distance_error_threshold,
                 o.orientation_error_threshold,
             ], dtype=np.float32)
+            t0 = time.time()
             self.map_state, self._odo_state, packed, kp, world = \
                 self._stream_step(self.map_state, self._odo_state,
-                                  prep["raw_dev"], prep["alphas_dev"],
+                                  prep["scan_dev"],
                                   jnp.int32(prep["n"]), betas_dev,
                                   jnp.asarray(dyn), jnp.asarray(fs))
+            phases["dispatch"] += time.time() - t0
             if pending is not None:
-                yield self._finish_streamed(*pending)
+                t0 = time.time()
+                summary = self._finish_streamed(*pending)
+                phases["finish"] += time.time() - t0
+                phases["frames"] += 1
+                yield summary
             pending = (info, packed, kp, world, self.origin.copy())
         if pending is not None:
             yield self._finish_streamed(*pending)
+        if debug and phases["frames"]:
+            n = phases["frames"]
+            print(f"[stream] per frame: pull {phases['pull']/n*1e3:.1f} ms, "
+                  f"dispatch {phases['dispatch']/n*1e3:.1f} ms, "
+                  f"finish {phases['finish']/n*1e3:.1f} ms", flush=True)
 
     def _finish_streamed(self, info, packed, kp, world,
                          origin) -> RegistrationSummary:
@@ -376,7 +397,8 @@ class Odometry:
         keys = np.asarray(lvl.keys)
         occupied = keys > int(vm.TOMB)
         count = np.asarray(lvl.count)
-        pts = np.asarray(lvl.points).reshape(keys.shape[0], -1, 3)
+        pts = np.asarray(lvl.points).reshape(
+            keys.shape[0], 3, -1).transpose(0, 2, 1)   # planar rows -> [C,P,3]
         nrm = np.asarray(lvl.normals)
         out_p, out_n = [], []
         for s in np.nonzero(occupied & (count > 0))[0]:
@@ -662,21 +684,19 @@ class Odometry:
         return cached
 
     def _prepare_device_scan(self, xyz, timestamps, info: FrameInfo, prep):
-        """Padded device arrays for the fused step (from prep when given)."""
+        """Packed device scan for the fused step (from prep when given)."""
         o = self.options
         if prep is not None:
-            return prep["raw_dev"], prep["alphas_dev"], prep["n"]
+            return prep["scan_dev"], prep["n"]
         cap = o.max_scan_points
         n = xyz.shape[0]
         if n > cap:
             sel = self.rng.choice(n, cap, replace=False)
             xyz, timestamps = xyz[sel], timestamps[sel]
             n = cap
-        raw = np.zeros((cap, 3), np.float32)
-        raw[:n] = xyz
-        alphas = np.ones((cap,), np.float32)
-        alphas[:n] = self._frame_alphas(timestamps, info)
-        return jnp.asarray(raw), jnp.asarray(alphas), n
+        alphas = self._frame_alphas(timestamps, info)
+        packed = pl.pack_scan_u16(xyz, alphas, n, pl.scan_rung(cap, n))
+        return jnp.asarray(packed), n
 
     def _pose_init_packed(self, frame: TrajectoryFrame) -> np.ndarray:
         return np.concatenate([
@@ -694,8 +714,7 @@ class Odometry:
         (reference RobustRegistration, odometry.cpp:780-852)."""
         o = self.options
         k = info.registered_fid
-        raw_dev, alphas_dev, n = self._prepare_device_scan(
-            xyz, timestamps, info, prep)
+        scan_dev, n = self._prepare_device_scan(xyz, timestamps, info, prep)
 
         attempt_opts = self._effective_icp_options(info)
         startup = k < o.init_num_frames
@@ -744,7 +763,7 @@ class Odometry:
                 o.distance_error_threshold, o.orientation_error_threshold,
             ], dtype=np.float32)
             self.map_state, packed, kp_dev, world_dev = self._frame_step(
-                self.map_state, raw_dev, alphas_dev, jnp.int32(n),
+                self.map_state, scan_dev, jnp.int32(n),
                 jnp.asarray(self._pose_init_packed(summary.frame)),
                 jnp.asarray(prior), jnp.asarray(dyn), jnp.asarray(fs))
             r = np.asarray(packed, dtype=np.float64)
@@ -829,20 +848,7 @@ class Odometry:
         """Single-dispatch frame registration (non-robust path)."""
         o = self.options
         k = info.registered_fid
-        if prep is not None:
-            raw_dev, alphas_dev, n = prep["raw_dev"], prep["alphas_dev"], prep["n"]
-        else:
-            cap = o.max_scan_points
-            n = xyz.shape[0]
-            if n > cap:
-                sel = self.rng.choice(n, cap, replace=False)
-                xyz, timestamps = xyz[sel], timestamps[sel]
-                n = cap
-            raw = np.zeros((cap, 3), np.float32)
-            raw[:n] = xyz
-            alphas = np.ones((cap,), np.float32)
-            alphas[:n] = self._frame_alphas(timestamps, info)
-            raw_dev, alphas_dev = jnp.asarray(raw), jnp.asarray(alphas)
+        scan_dev, n = self._prepare_device_scan(xyz, timestamps, info, prep)
 
         frame = self.trajectory[k]
         summary = RegistrationSummary()
@@ -890,7 +896,7 @@ class Odometry:
         ], dtype=np.float32)
 
         self.map_state, packed, kp_dev, world_dev = self._frame_step(
-            self.map_state, raw_dev, alphas_dev,
+            self.map_state, scan_dev,
             jnp.int32(n), jnp.asarray(pose_init), jnp.asarray(prior),
             jnp.asarray(dyn), jnp.asarray(frame_scalars))
         r = np.asarray(packed, dtype=np.float64)

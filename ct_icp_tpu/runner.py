@@ -112,13 +112,13 @@ class OdometryRunner:
             return odo.prepare_frame(frame["xyz"], ts, registered_fid=i,
                                      frame_id=i)
 
-        prepared = PrefetchIterator(enumerate(seq), depth=2,
-                                    transform=_prepare)
-
         def summaries():
+            prepared = PrefetchIterator(enumerate(seq), depth=2,
+                                        transform=_prepare)
             if getattr(odo, "_use_fused", False):
                 # streaming: dispatch frame k before reading k-1's result
-                # (device-resident motion init/tracker, odometry.stream_frames)
+                # (device-resident motion init/tracker, odometry.stream_frames);
+                # the worker overlaps the scan upload with device compute
                 yield from odo.stream_frames(prepared)
             else:
                 for prep in prepared:

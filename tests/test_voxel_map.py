@@ -42,7 +42,8 @@ class TestInsert:
         slots = np.asarray(vm.find_slots(level, jnp.asarray(coords)))
         assert np.all(slots >= 0)
         # every point stored in its slot
-        stored = np.asarray(level.points)[slots].reshape(len(slots), -1, 3)
+        stored = np.asarray(level.points)[slots].reshape(
+            len(slots), 3, -1).transpose(0, 2, 1)   # planar rows -> [N,P,3]
         cnt = np.asarray(level.count)[slots]
         for i in range(0, 500, 37):
             d = np.linalg.norm(stored[i, :cnt[i]] - pts[i], axis=-1)

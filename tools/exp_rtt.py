@@ -76,7 +76,7 @@ def main():
     state = odo.map_state
     # warm
     state, packed, kp, wd = odo._frame_step(
-        state, prep["raw_dev"], prep["alphas_dev"], n_dev, pose_dev, prior,
+        state, prep["scan_dev"], n_dev, pose_dev, prior,
         dyn, fs)
     jax.block_until_ready(packed)
 
@@ -84,7 +84,7 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         state, packed, kp, wd = odo._frame_step(
-            state, prep["raw_dev"], prep["alphas_dev"], n_dev, pose_dev,
+            state, prep["scan_dev"], n_dev, pose_dev,
             prior, dyn, fs)
         np.asarray(packed)   # what the odometry loop does: sync every frame
     print(f"fused step, sync every call:  {(time.time() - t0) / reps * 1e3:7.2f} ms")
@@ -92,7 +92,7 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         state, packed, kp, wd = odo._frame_step(
-            state, prep["raw_dev"], prep["alphas_dev"], n_dev, pose_dev,
+            state, prep["scan_dev"], n_dev, pose_dev,
             prior, dyn, fs)
     jax.block_until_ready(packed)
     print(f"fused step, chained:          {(time.time() - t0) / reps * 1e3:7.2f} ms")
@@ -102,7 +102,7 @@ def main():
     prev_packed = None
     for _ in range(reps):
         state, packed, kp, wd = odo._frame_step(
-            state, prep["raw_dev"], prep["alphas_dev"], n_dev, pose_dev,
+            state, prep["scan_dev"], n_dev, pose_dev,
             prior, dyn, fs)
         if prev_packed is not None:
             np.asarray(prev_packed)   # read k-1 while k runs

@@ -51,7 +51,9 @@ def main():
     @jax.jit
     def gather_pts(level, slots2):
         slot_c = jnp.where(slots2 >= 0, slots2, 0)
-        return level.points[slot_c]
+        rows = level.points[slot_c]
+        p = level.max_points
+        return jnp.stack([rows[..., 0:p], rows[..., p:2*p], rows[..., 2*p:3*p]], axis=-1)
 
     t, gathered = timeit(gather_pts, level, slots2)
     print(f"points gather [{m},{slots2.shape[1]},30,3]:  {t:7.2f} ms")

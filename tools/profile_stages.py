@@ -73,7 +73,7 @@ def main():
         ms, packed, *_ = odo._frame_step(
             jax.tree_util.tree_map(lambda x: x + 0 if x.dtype != bool else x,
                                    odo.map_state),
-            prep["raw_dev"], prep["alphas_dev"], jnp.int32(prep["n"]),
+            prep["scan_dev"], jnp.int32(prep["n"]),
             jnp.asarray(pose_init), jnp.asarray(prior), jnp.asarray(dyn),
             jnp.asarray(fs))
         return packed
@@ -82,7 +82,8 @@ def main():
     print(f"fused frame step (total):            {t:8.2f} ms")
 
     # ---- constituents
-    raw, alphas = prep["raw_dev"], prep["alphas_dev"]
+    from ct_icp_tpu.odometry import pipeline as _pl
+    raw, alphas = jax.jit(_pl.unpack_scan)(prep["scan_dev"])
     valid = jnp.arange(o.max_scan_points) < prep["n"]
     t, (sub_raw, sub_alphas, sub_valid, cnt) = timeit(
         pl.preprocess, raw, alphas, valid, jnp.float32(o.voxel_size),
