@@ -40,19 +40,23 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ct_icp_tpu.config.options import MultiResolutionVoxelMapOptions
 from ct_icp_tpu.ops import voxel as vx
 from ct_icp_tpu.ops.neighborhood import description_from_moments
 
-EMPTY = jnp.uint32(0)
-TOMB = jnp.uint32(1)
+# numpy scalars, NOT jnp: a module-level jnp constant is an eager device
+# array, and capturing one in a jitted program permanently degrades the
+# axon client ~150x (docs/PERF.md, "the device-constant cliff").
+EMPTY = np.uint32(0)
+TOMB = np.uint32(1)
 MAX_PROBES = 16
 
 # second (identity) hash, decoupled from the probe hash
-_K2A = jnp.uint32(2654435761)
-_K2B = jnp.uint32(2246822519)
-_K2C = jnp.uint32(3266489917)
+_K2A = np.uint32(2654435761)
+_K2B = np.uint32(2246822519)
+_K2C = np.uint32(3266489917)
 
 
 def voxel_key_u32(coords):
@@ -121,27 +125,58 @@ def _probe_slots(h, c):
     return ((h[..., None] + probes) & jnp.uint32(c - 1)).astype(jnp.int32)
 
 
-def find_slots(level: MapLevel, query_coords):
-    """Vectorized lookup: voxel coords [M, 3] -> slot index [M] (-1 absent).
+def _key_window(keys):
+    """Sliding probe window of the keys table: u32 [C, R], row i holding
+    keys[(i .. i+R-1) mod C].
 
-    Single-pass probing: gather the keys of all MAX_PROBES probe positions at
-    once (u32 each — lane-friendly) and select the first match occurring
-    before the first EMPTY slot. (A windowed dynamic-slice variant was
-    measured slower: vmapped dynamic_slice lowers worse than one big gather.)
-    """
-    c = level.capacity
-    h = vx.voxel_hash_u32(query_coords)
-    k2 = voxel_key_u32(query_coords)
-    slots = _probe_slots(h, c)                      # [M, R]
-    keys = level.keys[slots]                        # [M, R] u32
-    is_empty = keys == EMPTY
-    is_match = keys == k2[..., None]
+    Probing via one ROW gather of this window is ~3x faster than gathering
+    the R probe positions as scalars (measured 2.8 ms vs 7.9 ms at 55k
+    queries): a scalar gather pays per element, a row gather pays per 64-byte
+    row. The window is built with rolls (pure vector ops) inside the same
+    program, so it is always consistent with the table."""
+    return jnp.stack([jnp.roll(keys, -r) for r in range(MAX_PROBES)], axis=1)
+
+
+def _select_first_match(keys_probe, k2):
+    """First probe position matching k2 before the first EMPTY (-1 if none).
+
+    Returns (j [M] int32 probe offset, any_hit [M] bool)."""
+    is_empty = keys_probe == EMPTY
+    is_match = keys_probe == k2[..., None]
     before_empty = jnp.cumsum(is_empty.astype(jnp.int32), axis=-1) == 0
     hit = is_match & before_empty
-    any_hit = jnp.any(hit, axis=-1)
-    first = jnp.argmax(hit, axis=-1)
-    found = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
-    return jnp.where(any_hit, found, -1)
+    return jnp.argmax(hit, axis=-1), jnp.any(hit, axis=-1)
+
+
+def find_slots_with_count(level: MapLevel, query_coords):
+    """Vectorized lookup: voxel coords [..., 3] -> (slot [...], count [...]).
+
+    slot is -1 where the voxel is absent (count 0 there). One row gather of a
+    combined [C, 2R] window (keys ++ counts) serves both answers — the
+    separate count gather that a slot-then-count sequence needs is a scalar
+    gather and measured ~2.3 ms at candidate-search sizes.
+    """
+    c = level.capacity
+    shape = query_coords.shape[:-1]
+    coords = query_coords.reshape(-1, 3)
+    h = vx.voxel_hash_u32(coords)
+    k2 = voxel_key_u32(coords)
+    win = jnp.concatenate(
+        [_key_window(level.keys),
+         _key_window(level.count.astype(jnp.uint32))], axis=1)
+    rows = win[(h & jnp.uint32(c - 1)).astype(jnp.int32)]   # [M, 2R]
+    j, any_hit = _select_first_match(rows[:, :MAX_PROBES], k2)
+    slot = ((h + j.astype(jnp.uint32)) & jnp.uint32(c - 1)).astype(jnp.int32)
+    cnt = jnp.take_along_axis(
+        rows[:, MAX_PROBES:], j[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    slot = jnp.where(any_hit, slot, -1)
+    cnt = jnp.where(any_hit, cnt, 0)
+    return slot.reshape(shape), cnt.reshape(shape)
+
+
+def find_slots(level: MapLevel, query_coords):
+    """Vectorized lookup: voxel coords [M, 3] -> slot index [M] (-1 absent)."""
+    return find_slots_with_count(level, query_coords)[0]
 
 
 # ---------------------------------------------------------------- insertion —
@@ -162,15 +197,11 @@ def _resolve_or_claim_slots(keys_table, pt_keys, h, valid):
     pid = jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(2147483647)
 
-    slots = _probe_slots(h, c)
-    keys = keys_table[slots]
-    is_empty = keys == EMPTY
-    is_match = keys == pt_keys[..., None]
-    before_empty = jnp.cumsum(is_empty.astype(jnp.int32), axis=-1) == 0
-    hit = is_match & before_empty
-    any_hit = jnp.any(hit, axis=-1) & valid
-    first = jnp.argmax(hit, axis=-1)
-    found = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    keys_probe = _key_window(keys_table)[
+        (h & mask_u).astype(jnp.int32)]                     # [N, R] row gather
+    first, any_hit = _select_first_match(keys_probe, pt_keys)
+    any_hit = any_hit & valid
+    found = ((h + first.astype(jnp.uint32)) & mask_u).astype(jnp.int32)
     assigned = jnp.where(any_hit, found, -1)
     resolved = any_hit
 
@@ -405,11 +436,9 @@ def gather_candidate_planes(level: MapLevel, queries, query_valid, resolution,
     o = offsets.shape[0]
     qc = vx.voxel_coords(queries, resolution)
     cand_coords = qc[:, None, :] + offsets[None, :, :]
-    slots = find_slots(level, cand_coords.reshape(-1, 3)).reshape(m, o)
+    slots, cnt = find_slots_with_count(level, cand_coords)   # [M, O] each
     valid_slot = slots >= 0
     slot_c = jnp.where(valid_slot, slots, 0)
-
-    cnt = jnp.where(valid_slot, level.count[slot_c], 0)
     occ_ok = cnt >= threshold_voxel_occupancy
 
     rows = level.points[slot_c]                      # [M, O, P*3]

@@ -10,11 +10,15 @@ Semantics match the reference:
 """
 
 import jax.numpy as jnp
+import numpy as np
 
-# Primes of the reference voxel hash (types.h:615-618).
-_KP1 = jnp.uint32(73856093)
-_KP2 = jnp.uint32(19349669)
-_KP3 = jnp.uint32(83492791)
+# Primes of the reference voxel hash (types.h:615-618). numpy scalars, NOT
+# jnp: a module-level jnp constant is an eager device array, and capturing a
+# pre-existing device array in a jitted program permanently degrades the
+# whole axon client ~150x (see docs/PERF.md, "the device-constant cliff").
+_KP1 = np.uint32(73856093)
+_KP2 = np.uint32(19349669)
+_KP3 = np.uint32(83492791)
 
 
 def voxel_coords(points, voxel_size):

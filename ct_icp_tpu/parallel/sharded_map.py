@@ -25,16 +25,19 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ct_icp_tpu.mapping import voxel_map as vm
 from ct_icp_tpu.ops import voxel as vx
 
 # a second independent hash for the owner mapping (decoupled from the slot
-# probe hash so shard load stays uniform)
-_OWNER_P1 = jnp.uint32(2654435761)
-_OWNER_P2 = jnp.uint32(40503)
-_OWNER_P3 = jnp.uint32(2246822519)
+# probe hash so shard load stays uniform). numpy scalars, NOT jnp — a
+# captured pre-existing device array permanently degrades the axon client
+# (docs/PERF.md, "the device-constant cliff").
+_OWNER_P1 = np.uint32(2654435761)
+_OWNER_P2 = np.uint32(40503)
+_OWNER_P3 = np.uint32(2246822519)
 
 
 def owner_hash(coords):
