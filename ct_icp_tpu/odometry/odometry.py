@@ -109,7 +109,8 @@ class Odometry:
             num_keypoints=options.max_keypoints,
             distance_strategy=options.distance_strategy)
         self._update_map = pl.make_update_map_fn(
-            self.map_options, options.max_dirty_voxels)
+            self.map_options, options.max_dirty_voxels,
+            with_normals=self.registration.statics.use_normal_filter)
         self._rebase = pl.make_rebase_fn(self.map_options)
 
         # fused single-dispatch frame step (non-robust path; the robust
@@ -394,6 +395,13 @@ class Odometry:
         """World-frame map points + normals of one level
         (reference GetMapPoints, map.h:354-380)."""
         lvl = self.map_state.levels[level]
+        if not self.registration.statics.use_normal_filter:
+            # the hot path skips per-insert normal maintenance when the
+            # solver never reads normals; refresh them for the export
+            loc = (self.trajectory[-1].end_pose.tr - self.origin
+                   if self.trajectory else np.zeros(3))
+            lvl = vm.recompute_level_normals(
+                lvl, jnp.asarray(loc, jnp.float32))
         keys = np.asarray(lvl.keys)
         occupied = keys > int(vm.TOMB)
         count = np.asarray(lvl.count)

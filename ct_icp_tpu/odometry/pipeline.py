@@ -64,7 +64,7 @@ def transform_points(raw, alphas, qb, tb, qe, te):
 
 def _update_map_impl(map_state: vm.MapState, world, valid, begin_tr, location,
                      max_distance, do_insert, resolutions, min_dists,
-                     max_dirty: int, prune: bool):
+                     max_dirty: int, prune: bool, with_normals: bool = True):
     new_levels = []
     inserted = jnp.int32(0)
     for i, level in enumerate(map_state.levels):
@@ -72,14 +72,14 @@ def _update_map_impl(map_state: vm.MapState, world, valid, begin_tr, location,
             level = vm.prune_level(level, location, max_distance)
         lvl, n = vm.insert_points(
             level, world, valid & do_insert, resolutions[i], min_dists[i],
-            begin_tr, max_dirty)
+            begin_tr, max_dirty, with_normals=with_normals)
         inserted = inserted + n
         new_levels.append(lvl)
     return vm.MapState(levels=tuple(new_levels)), inserted
 
 
 @functools.lru_cache(maxsize=16)
-def make_update_map_fn(map_options, max_dirty: int):
+def make_update_map_fn(map_options, max_dirty: int, with_normals: bool = True):
     """Build the donated-map update step for a given map configuration."""
     resolutions = tuple(r.resolution for r in map_options.resolutions)
     min_dists = tuple(r.min_distance_between_points for r in map_options.resolutions)
@@ -89,7 +89,7 @@ def make_update_map_fn(map_options, max_dirty: int):
                    do_insert, prune=True):
         return _update_map_impl(map_state, world, valid, begin_tr, location,
                                 max_distance, do_insert, resolutions,
-                                min_dists, max_dirty, prune)
+                                min_dists, max_dirty, prune, with_normals)
 
     return update_map
 
@@ -263,8 +263,12 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
             w, v = world[:sz], (sub_valid & add)[:sz]
             for i, level in enumerate(map_state.levels):
                 level = vm.prune_level(level, location, fs[2])
+                # per-voxel normals are maintained on insert only when the
+                # solver reads them (visibility filter); exports recompute
+                # on demand (vm.recompute_level_normals)
                 lvl, cnt = vm.insert_points(
-                    level, w, v, resolutions[i], min_dists[i], tb, max_dirty)
+                    level, w, v, resolutions[i], min_dists[i], tb, max_dirty,
+                    with_normals=statics.use_normal_filter)
                 inserted = inserted + cnt
                 new_levels.append(lvl)
             return tuple(new_levels), inserted

@@ -47,7 +47,8 @@ def make_room_map(rng, map_options):
         jnp.ones(pts.shape[0], bool),
         map_options.resolutions[0].resolution,
         map_options.resolutions[0].min_distance_between_points,
-        jnp.zeros(3, dtype=jnp.float32), 1 << 14)
+        jnp.zeros(3, dtype=jnp.float32), 1 << 14,
+        max_rounds=64)  # bulk one-call map build: no per-frame insert cap
     assert int(n) > 10000
     return vm.MapState(levels=(level,))
 

@@ -24,11 +24,13 @@ def rng():
     return np.random.default_rng(11)
 
 
-def insert(level, pts, res=1.0, min_dist=0.0, begin=np.zeros(3), max_dirty=256):
+def insert(level, pts, res=1.0, min_dist=0.0, begin=np.zeros(3), max_dirty=256,
+           max_rounds=4):
     pts = jnp.asarray(np.asarray(pts, np.float32))
     valid = jnp.ones(pts.shape[0], bool)
     return vm.insert_points(level, pts, valid, res, min_dist,
-                            jnp.asarray(begin, dtype=jnp.float32), max_dirty)
+                            jnp.asarray(begin, dtype=jnp.float32), max_dirty,
+                            max_rounds=max_rounds)
 
 
 class TestInsert:
@@ -67,10 +69,15 @@ class TestInsert:
         level = make_level()
         pts = np.tile(np.array([[3.3, 3.3, 3.3]]), (5, 1)) \
             + np.linspace(0, 0.4, 5)[:, None] * np.array([[1e-1, 0, 0]])
-        level, n = insert(level, pts, min_dist=0.0)
-        occupied = np.asarray(level.keys) > 1  # > TOMB
+        # default election cap (4 rounds) admits 4 of the 5 same-voxel
+        # points this frame; an explicit higher cap admits all 5
+        level4, n4 = insert(level, pts, min_dist=0.0)
+        occupied = np.asarray(level4.keys) > 1  # > TOMB
         assert occupied.sum() == 1
-        assert int(n) == 5
+        assert int(n4) == 4
+        level8, n8 = insert(level, pts, min_dist=0.0, max_rounds=8)
+        assert int(n8) == 5
+        assert (np.asarray(level8.keys) > 1).sum() == 1
 
     def test_hash_collision_chain(self, rng):
         # force many voxels into a tiny table: still all found via probing
@@ -102,7 +109,7 @@ class TestRadiusSearch:
         base = np.array([5.0, 5.0, 5.0])
         offs = rng.normal(size=(50, 3)) * 0.3
         pts = base + offs
-        level, _ = insert(level, pts)
+        level, _ = insert(level, pts, max_rounds=64)  # bulk same-voxel load
         q = jnp.asarray(base[None].astype(np.float32))
         npts, nmask, nd = vm.radius_search(
             level, q, jnp.ones(1, bool), 0.5, 1.0, nv=1, k=20)
