@@ -492,52 +492,56 @@ def gather_candidate_planes(level: MapLevel, queries, query_valid, resolution,
                             nv, sensor_location=None,
                             use_normal_filter: bool = False,
                             threshold_voxel_occupancy=1):
-    """Search front-end: gather the candidate x/y/z planes + static mask.
+    """Search front-end: gather candidate point rows + per-voxel counts.
 
     This is the expensive (gather-bound) half of the neighbor search; its
     output can be CACHED across ICP iterations (pose deltas between
     iterations are mm-cm — candidate voxel sets barely change) and re-scored
     cheaply by :func:`moments_from_planes`.
 
-    Returns (x, y, z [M, O, P], ok_base [M, O, P]).
+    Returns (rows [M, O, 3P] planar x|y|z rows, cnt_ok [M, O] int32 — the
+    voxel's point count, zeroed where the voxel fails occupancy / visibility
+    / query-validity). Keeping the cache as raw rows + per-VOXEL counts
+    instead of per-point x/y/z/ok planes cuts its HBM footprint ~3.5x (a
+    trailing dim of P=30 pads to 128 lanes; 3P=90 pads to 128 — and the bool
+    plane pads the same), which matters both for the rescore reads and for
+    the while_loop carry the solver threads it through.
     """
-    p = level.max_points
     m = queries.shape[0]
     offsets = _neighbor_offsets(nv)
-    o = offsets.shape[0]
     qc = vx.voxel_coords(queries, resolution)
     cand_coords = qc[:, None, :] + offsets[None, :, :]
     slots, cnt = find_slots_with_count(level, cand_coords)   # [M, O] each
     valid_slot = slots >= 0
     slot_c = jnp.where(valid_slot, slots, 0)
-    occ_ok = cnt >= threshold_voxel_occupancy
+    ok = ((cnt >= threshold_voxel_occupancy) & valid_slot
+          & query_valid[:, None])
 
     rows = level.points[slot_c]                      # [M, O, P*3]
-    x, y, z = _xyz_planes(rows, p)                   # [M, O, P]
-    in_cap = jnp.arange(p, dtype=jnp.int32)[None, None, :] < cnt[..., None]
-    ok = in_cap & occ_ok[..., None] & query_valid[:, None, None]
 
     if use_normal_filter and sensor_location is not None:
         nrm = level.normals[slot_c]                  # [M, O, 3] (small)
         flg = level.nflags[slot_c]
         scal = jnp.sum((sensor_location - queries)[:, None, :] * nrm, axis=-1)
-        keep = (flg < 2) | (scal >= 0.0)
-        ok = ok & keep[..., None]
-    return x, y, z, ok
+        ok = ok & ((flg < 2) | (scal >= 0.0))
+    return rows, jnp.where(ok, cnt, 0)
 
 
-def moments_from_planes(x, y, z, ok_base, queries, radius):
-    """Scoring half: in-radius moments of cached candidate planes vs the
+def moments_from_planes(rows, cnt_ok, queries, radius):
+    """Scoring half: in-radius moments of cached candidate rows vs the
     *current* query positions (pure elementwise — cheap to repeat).
 
     Returns (count, sum_rel, sum_outer, closest, closest_dist)."""
     m = queries.shape[0]
+    p = rows.shape[-1] // 3
+    x, y, z = _xyz_planes(rows, p)                   # fused slices of rows
     dx = x - queries[:, None, 0:1]
     dy = y - queries[:, None, 1:2]
     dz = z - queries[:, None, 2:3]
     d2 = dx * dx + dy * dy + dz * dz
     radius_arr = radius if jnp.ndim(radius) > 0 else jnp.full((m,), radius)
-    ok = ok_base & (d2 <= (radius_arr ** 2)[:, None, None])
+    in_cap = jnp.arange(p, dtype=jnp.int32)[None, None, :] < cnt_ok[..., None]
+    ok = in_cap & (d2 <= (radius_arr ** 2)[:, None, None])
 
     w = ok.astype(queries.dtype)
     rx, ry, rz = dx * w, dy * w, dz * w
@@ -571,15 +575,18 @@ def _candidate_planes(level: MapLevel, queries, query_valid, radius,
     Returns (x, y, z [M, O, P], ok [M, O, P], d2 [M, O, P]).
     """
     m = queries.shape[0]
-    x, y, z, ok = gather_candidate_planes(
+    p = level.max_points
+    rows, cnt_ok = gather_candidate_planes(
         level, queries, query_valid, resolution, nv, sensor_location,
         use_normal_filter, threshold_voxel_occupancy)
+    x, y, z = _xyz_planes(rows, p)
     dx = x - queries[:, None, 0:1]
     dy = y - queries[:, None, 1:2]
     dz = z - queries[:, None, 2:3]
     d2 = dx * dx + dy * dy + dz * dz
     radius_arr = radius if jnp.ndim(radius) > 0 else jnp.full((m,), radius)
-    ok = ok & (d2 <= (radius_arr ** 2)[:, None, None])
+    in_cap = jnp.arange(p, dtype=jnp.int32)[None, None, :] < cnt_ok[..., None]
+    ok = in_cap & (d2 <= (radius_arr ** 2)[:, None, None])
     return x, y, z, dx, dy, dz, ok, d2
 
 

@@ -180,9 +180,9 @@ def main():
     rpt("  count gather [2048,27]", t)
 
     # ---- moments rescoring (the cached-planes fast path)
-    x, y, z, okb = gather(level, kp_raw, kp_valid)
-    t = chained(jax.jit(lambda x, y, z, ok, q: vm.moments_from_planes(
-        x, y, z, ok, q, 0.75)), x, y, z, okb, kp_raw)
+    rows_c, cnt_ok = gather(level, kp_raw, kp_valid)
+    t = chained(jax.jit(lambda r, c, q: vm.moments_from_planes(
+        r, c, q, 0.75)), rows_c, cnt_ok, kp_raw)
     rpt("  moments_from_planes (rescore)", t)
 
     # ---- insert + prune @16384
