@@ -96,20 +96,21 @@ def main():
     def _prepare(item):
         i, fr = item
         return odo.prepare_frame(fr["xyz"], fr["timestamps"],
-                                 registered_fid=i, frame_id=i)
+                                 registered_fid=i, frame_id=i, upload=False)
 
-    # streaming mode: frame k is dispatched before frame k-1's result is
-    # read, so host bookkeeping overlaps device compute (odometry.stream_frames)
+    # streaming megastep mode: BATCH frames ride one dispatch (lax.scan
+    # program) with one stacked upload and one packed readback, so the
+    # per-dispatch tax and readback round trip (~1 ms each over the tunnel)
+    # amortize across the batch (odometry.stream_frames(batch=...))
+    BATCH = 8
     failures = 0
     timed = 0
     t_start = None
-    # prefetch worker: the scan upload (~0.5 MB u16-packed) serializes with
-    # the dispatch loop if done inline; a depth-2 worker overlaps it with
-    # device compute (measured: inline 60.6 ms, worker 53.6 @f32 wire)
+    # prefetch worker: scan packing overlaps device compute
     from ct_icp_tpu.odometry.concurrent import PrefetchIterator
-    prepared = PrefetchIterator(enumerate(frames), depth=2,
+    prepared = PrefetchIterator(enumerate(frames), depth=2 * BATCH,
                                 transform=_prepare)
-    for i, summary in enumerate(odo.stream_frames(prepared)):
+    for i, summary in enumerate(odo.stream_frames(prepared, batch=BATCH)):
         if i == warmup - 1:
             t_start = time.time()
         elif i >= warmup:

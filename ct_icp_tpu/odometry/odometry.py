@@ -164,7 +164,8 @@ class Odometry:
                 "Callback returned false"
 
     def prepare_frame(self, xyz: np.ndarray, timestamps: np.ndarray,
-                      registered_fid: int, frame_id: Optional[int] = None):
+                      registered_fid: int, frame_id: Optional[int] = None,
+                      upload: bool = True):
         """Pad + compute alphas + upload one scan ahead of time.
 
         Thread-safe: a prefetch worker can prepare (and start uploading)
@@ -195,7 +196,8 @@ class Odometry:
         packed = pl.pack_scan_u16(xyz, alphas, n, rung)
         return {
             "info": info, "n": n,
-            "scan_dev": jnp.asarray(packed),
+            "scan_dev": jnp.asarray(packed) if upload else None,
+            "scan_host": packed,
             "xyz": xyz, "timestamps": timestamps,
         }
 
@@ -241,7 +243,7 @@ class Odometry:
         return summary
 
     # ------------------------------------------------------- streaming mode —
-    def stream_frames(self, preps):
+    def stream_frames(self, preps, batch: int = 1):
         """Register prepared frames with one-frame pipelining (generator).
 
         TPU-native streaming: motion initialization, the motion-model prior
@@ -251,10 +253,20 @@ class Odometry:
         (comparable to device compute per frame) overlaps device execution
         and throughput approaches pure device time.
 
+        ``batch`` > 1 processes that many frames per dispatch (one lax.scan
+        program, pipeline.make_multi_step_fn): the per-dispatch tax and the
+        per-readback round trip (~1 ms each against a remote device)
+        amortize across the batch. Batched frames carry no keypoint/world
+        device arrays in their summaries — keep batch=1 when callbacks or
+        the CT-BA backend consume them.
+
         ``preps`` iterates prepare_frame dicts in registration order. Yields
-        one RegistrationSummary per frame, each one frame behind its
+        one RegistrationSummary per frame, each one batch behind its
         dispatch. Requires the fused non-robust path.
         """
+        if batch > 1:
+            yield from self._stream_frames_batched(preps, batch)
+            return
         o = self.options
         assert self._use_fused, "streaming requires the fused non-robust path"
         if self._stream_step is None:
@@ -314,9 +326,12 @@ class Odometry:
                 o.orientation_error_threshold,
             ], dtype=np.float32)
             t0 = time.time()
+            scan_dev = prep["scan_dev"]
+            if scan_dev is None:           # prepared with upload=False
+                scan_dev = jnp.asarray(prep["scan_host"])
             self.map_state, self._odo_state, packed, kp, world = \
                 self._stream_step(self.map_state, self._odo_state,
-                                  prep["scan_dev"],
+                                  scan_dev,
                                   jnp.int32(prep["n"]), betas_dev,
                                   jnp.asarray(dyn), jnp.asarray(fs))
             phases["dispatch"] += time.time() - t0
@@ -334,6 +349,104 @@ class Odometry:
             print(f"[stream] per frame: pull {phases['pull']/n*1e3:.1f} ms, "
                   f"dispatch {phases['dispatch']/n*1e3:.1f} ms, "
                   f"finish {phases['finish']/n*1e3:.1f} ms", flush=True)
+
+    def _stream_frames_batched(self, preps, batch: int):
+        """Megastep streaming: ``batch`` frames per dispatch (see
+        stream_frames). Leftover frames (< batch) drain through recursion
+        into the single-frame path."""
+        o = self.options
+        assert self._use_fused, "streaming requires the fused non-robust path"
+        multi_step = pl.make_multi_step_fn(
+            self.map_options, self.registration.statics,
+            sub_capacity=o.max_subsampled_points,
+            max_dirty=o.max_dirty_voxels,
+            distort_constant_velocity=(
+                o.motion_compensation == MotionCompensation.CONSTANT_VELOCITY),
+            const_velocity=(o.initialization
+                            == Initialization.INIT_CONSTANT_VELOCITY),
+            continuous=(o.motion_compensation == MotionCompensation.CONTINUOUS),
+            always_insert=o.always_insert, do_no_insert=o.do_no_insert,
+            batch=batch)
+        if self._odo_state is None:
+            self._odo_state = jnp.asarray(pl.init_odo_state())
+        if self._stream_rebase is None:
+            self._stream_rebase = pl.make_stream_rebase_fn(self.map_options)
+
+        mm = o.default_motion_model
+        if o.with_default_motion_model:
+            betas = np.asarray([mm.beta_location_consistency,
+                                mm.beta_orientation_consistency,
+                                mm.beta_constant_velocity,
+                                mm.beta_small_velocity], np.float32)
+        else:
+            betas = np.zeros(4, np.float32)
+        betas_dev = jnp.asarray(betas)
+
+        def frame_scalars(info):
+            startup = info.registered_fid < o.init_num_frames
+            return np.asarray([
+                o.init_voxel_size if startup else o.voxel_size,
+                o.init_sample_voxel_size if startup else o.sample_voxel_size,
+                o.max_distance, 0.0, 0.0,
+                o.insertion_ego_rotation_threshold, 0.0,
+                o.insertion_threshold_frames_skipped,
+                o.distance_error_threshold,
+                o.orientation_error_threshold,
+            ], dtype=np.float32)
+
+        tail = []             # leftover preps (< batch) for single-frame drain
+
+        def groups():
+            g = []
+            for prep in preps:
+                g.append(prep)
+                if len(g) == batch:
+                    yield g
+                    g = []
+            tail.extend(g)
+
+        def stack_upload(group):
+            """Stack + START the device transfer in the prefetch worker so
+            the ~1 MB/frame upload overlaps the previous megastep's compute
+            (inline it serializes with the dispatch on a slow tunnel)."""
+            infos, dyns, fss, ns = [], [], [], []
+            rung = max(p["scan_host"].shape[0] for p in group)
+            scans = np.zeros((batch, rung, 4), np.uint16)
+            for b, prep in enumerate(group):
+                info = prep["info"]
+                assert info.registered_fid == self.registered_frames, \
+                    "Prepared frames must be streamed in order"
+                self.registered_frames += 1
+                infos.append(info)
+                dyns.append(self.registration.dynamics(
+                    self._effective_icp_options(info)))
+                fss.append(frame_scalars(info))
+                ns.append(prep["n"])
+                sh = prep["scan_host"]
+                scans[b, :sh.shape[0]] = sh
+            return (infos, jnp.asarray(scans),
+                    jnp.asarray(np.asarray(ns, np.int32)),
+                    jnp.asarray(np.stack(dyns)), jnp.asarray(np.stack(fss)))
+
+        from ct_icp_tpu.odometry.concurrent import PrefetchIterator
+        pending = None        # (infos, packed_all [B,24], origin)
+        for infos, scans_dev, ns_dev, dyns_dev, fss_dev in PrefetchIterator(
+                groups(), depth=2, transform=stack_upload):
+            self.map_state, self._odo_state, packed_all = multi_step(
+                self.map_state, self._odo_state, scans_dev, ns_dev,
+                betas_dev, dyns_dev, fss_dev)
+            if pending is not None:
+                yield from self._finish_batch(*pending)
+            pending = (infos, packed_all, self.origin.copy())
+        if pending is not None:
+            yield from self._finish_batch(*pending)
+        if tail:
+            yield from self.stream_frames(iter(tail), batch=1)
+
+    def _finish_batch(self, infos, packed_all, origin):
+        rows = np.asarray(packed_all, dtype=np.float64)
+        for info, row in zip(infos, rows):
+            yield self._finish_streamed(info, row, None, None, origin)
 
     def _finish_streamed(self, info, packed, kp, world,
                          origin) -> RegistrationSummary:
@@ -695,6 +808,8 @@ class Odometry:
         """Packed device scan for the fused step (from prep when given)."""
         o = self.options
         if prep is not None:
+            if prep["scan_dev"] is None:   # prepared with upload=False
+                return jnp.asarray(prep["scan_host"]), prep["n"]
             return prep["scan_dev"], prep["n"]
         cap = o.max_scan_points
         n = xyz.shape[0]

@@ -333,31 +333,21 @@ def init_odo_state():
     return s
 
 
-@functools.lru_cache(maxsize=16)
-def make_streaming_step_fn(map_options, statics, sub_capacity: int,
-                           max_dirty: int, distort_constant_velocity: bool,
-                           const_velocity: bool, continuous: bool,
-                           always_insert: bool, do_no_insert: bool):
-    """Device-resident odometry step: motion initialization, motion-model
-    prior and the insertion tracker live in device state (``odo_state``), so
-    dispatching frame k needs NOTHING from frame k-1's results on the host.
-
-    The host loop can therefore enqueue frame k while reading frame k-1's
-    packed result — the per-frame host/dispatch sync overhead (which is
-    comparable to the device compute itself) disappears, and throughput
-    approaches pure device time. Returns
-      (map_state, odo_state, packed, kp, world).
-    Poses in odo_state/packed are in the map frame; the host tracks the
-    float64 origin per dispatch (see odometry.Odometry.stream_frames).
-    """
+def _make_stream_body(map_options, statics, sub_capacity: int,
+                      max_dirty: int, distort_constant_velocity: bool,
+                      const_velocity: bool, continuous: bool,
+                      always_insert: bool, do_no_insert: bool):
+    """Traceable per-frame streaming body shared by the single-frame step and
+    the multi-frame megastep:
+      (map_state, odo_state, scan_packed, n, betas, dyn, fs)
+        -> (map_state, odo_state, packed, kp, world)."""
     import jax.numpy as jnp
     from ct_icp_tpu.core import se3 as s3
 
     core = _make_frame_core(map_options, statics, sub_capacity, max_dirty,
                             distort_constant_velocity)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def stream_step(map_state, odo_state, scan_packed, n_points, prior_betas,
+    def stream_body(map_state, odo_state, scan_packed, n_points, prior_betas,
                     dyn_packed, frame_scalars):
         raw, alphas = unpack_scan(scan_packed)
         s = odo_state
@@ -427,7 +417,65 @@ def make_streaming_step_fn(map_options, statics, sub_capacity: int,
         return (vm.MapState(levels=tuple(new_levels)), new_state, packed,
                 kp, world)
 
-    return stream_step
+    return stream_body
+
+
+@functools.lru_cache(maxsize=16)
+def make_streaming_step_fn(map_options, statics, sub_capacity: int,
+                           max_dirty: int, distort_constant_velocity: bool,
+                           const_velocity: bool, continuous: bool,
+                           always_insert: bool, do_no_insert: bool):
+    """Device-resident odometry step: motion initialization, motion-model
+    prior and the insertion tracker live in device state (``odo_state``), so
+    dispatching frame k needs NOTHING from frame k-1's results on the host.
+
+    The host loop can therefore enqueue frame k while reading frame k-1's
+    packed result — the per-frame host/dispatch sync overhead (which is
+    comparable to the device compute itself) disappears, and throughput
+    approaches pure device time. Returns
+      (map_state, odo_state, packed, kp, world).
+    Poses in odo_state/packed are in the map frame; the host tracks the
+    float64 origin per dispatch (see odometry.Odometry.stream_frames).
+    """
+    body = _make_stream_body(map_options, statics, sub_capacity, max_dirty,
+                             distort_constant_velocity, const_velocity,
+                             continuous, always_insert, do_no_insert)
+    return functools.partial(jax.jit, donate_argnums=(0, 1))(body)
+
+
+@functools.lru_cache(maxsize=16)
+def make_multi_step_fn(map_options, statics, sub_capacity: int,
+                       max_dirty: int, distort_constant_velocity: bool,
+                       const_velocity: bool, continuous: bool,
+                       always_insert: bool, do_no_insert: bool, batch: int):
+    """K frames of streaming odometry in ONE dispatch (lax.scan over the
+    batch): one upload of K packed scans, one readback of K packed results —
+    the per-frame dispatch tax and readback round-trip amortize K-fold
+    (each measured ~1 ms against a remote device; K=8 reclaims ~2 ms/frame).
+    Keypoint/world outputs are not exposed (use batch=1 when a consumer —
+    CT-BA, callbacks — needs them).
+
+    Signature: (map_state, odo_state, scans [K,R,4] u16, ns [K] i32,
+    betas [4], dyns [K,D], fss [K,F]) -> (map_state, odo_state, packed [K,24]).
+    """
+    body = _make_stream_body(map_options, statics, sub_capacity, max_dirty,
+                             distort_constant_velocity, const_velocity,
+                             continuous, always_insert, do_no_insert)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step(map_state, odo_state, scans, ns, prior_betas, dyns, fss):
+        def scan_body(carry, inputs):
+            ms, os_ = carry
+            scan_packed, n, dyn, fs = inputs
+            ms, os_, packed, _kp, _world = body(
+                ms, os_, scan_packed, n, prior_betas, dyn, fs)
+            return (ms, os_), packed
+
+        (ms, os_), packed_all = jax.lax.scan(
+            scan_body, (map_state, odo_state), (scans, ns, dyns, fss))
+        return ms, os_, packed_all
+
+    return multi_step
 
 
 @functools.lru_cache(maxsize=16)

@@ -112,3 +112,101 @@ class OnlineOdometry:
                 write_ply_xyzt(out / "map.ply", map_pts[:, :3])
         if self.config.stop_on_failure:
             self.stopped = True
+
+
+# ---------------------------------------------------------------------------
+# node analogs of the remaining ROS executables (transport = Notifier)
+
+class DatasetPublisher:
+    """Publishes dataset frames at the dataset rate — the ROS dataset node
+    analog (reference ros/.../ct_icp_dataset_node.cxx): iterate a sequence,
+    notify each frame as (xyz, timestamps, frame_id) on ``output``, sleeping
+    to hold ``rate_hz``. ``step()`` publishes one frame (for manual
+    pumping); ``run()`` publishes until exhausted or ``stop()``."""
+
+    def __init__(self, sequence, rate_hz: float = 10.0):
+        self.sequence = sequence
+        self.rate_hz = rate_hz
+        self.output = Notifier()
+        self.stopped = False
+        self._frame_id = 0
+
+    def step(self) -> bool:
+        if self.stopped or not self.sequence.has_next():
+            return False
+        fr = self.sequence.next_frame()
+        self.output.notify({"frame_id": self._frame_id,
+                            "xyz": fr["xyz"],
+                            "timestamps": fr.get("timestamps")})
+        self._frame_id += 1
+        return True
+
+    def run(self):
+        import time as _t
+        period = 1.0 / self.rate_hz if self.rate_hz > 0 else 0.0
+        nxt = _t.monotonic()
+        while self.step():
+            nxt += period
+            delay = nxt - _t.monotonic()
+            if delay > 0:
+                _t.sleep(delay)
+
+    def stop(self):
+        self.stopped = True
+
+
+class EvaluationNode:
+    """Online trajectory evaluation — the ROS evaluation node analog
+    (reference ros/.../ct_icp_evaluation_node.cxx): collects estimated
+    poses from a pose Notifier, holds the ground-truth trajectory, and a
+    background thread periodically computes KITTI-style metrics, notifying
+    them on ``metrics_output``."""
+
+    def __init__(self, ground_truth_poses, period_sec: float = 5.0):
+        """``ground_truth_poses``: [N, 4, 4] or list of Pose (absolute)."""
+        import threading
+        self.gt = ground_truth_poses
+        self.period_sec = period_sec
+        self.metrics_output = Notifier()
+        self._poses = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = None
+
+    def on_pose(self, msg):
+        """Subscribe this to OnlineOdometry.pose_output."""
+        with self._lock:
+            self._poses.append((msg["frame_id"], msg["end_pose"]))
+
+    def compute_metrics(self) -> Optional[dict]:
+        from ct_icp_tpu.evaluation.kitti import evaluate_matrices
+        with self._lock:
+            poses = list(self._poses)
+        if len(poses) < 2:
+            return None
+        est = [p.matrix() if hasattr(p, "matrix") else np.asarray(p)
+               for _, p in poses]
+        n = min(len(est), len(self.gt))
+        gt = [g.matrix() if hasattr(g, "matrix") else np.asarray(g)
+              for g in self.gt[:n]]
+        m = evaluate_matrices(gt, est[:n])
+        self.metrics_output.notify(m)
+        return m
+
+    def start(self):
+        import threading
+
+        def loop():
+            while not self._stop.wait(self.period_sec):
+                try:
+                    self.compute_metrics()
+                except Exception as e:      # keep the node alive (ROS-like)
+                    self.metrics_output.notify({"error": repr(e)})
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
