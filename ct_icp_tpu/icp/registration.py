@@ -108,6 +108,10 @@ class CTICPRegistration:
             use_lines=options.use_lines,
             use_distribution=options.use_distribution,
             use_distance_strategy=distance_strategy is not None,
+            # candidate compaction measured net-negative on the driving
+            # bench (top_k selection costs more than the smaller rescore
+            # saves) — available via SolverStatics.max_candidate_voxels
+            max_candidate_voxels=0,
         )
         self._fn = slv.jitted_register_fn(self.statics)
         self._dyn_cache = {}

@@ -173,13 +173,16 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
     gather-bound candidate planes) — so a frame pays for the points it has,
     not for the static worst-case shapes.
 
-    frame_scalars layout (f32[10]):
+    frame_scalars layout (f32[11]):
       0 voxel_size          1 sample_voxel_size    2 max_distance
       3 do_register(0/1)    4 force_insert(-1/0/1: -1 none, 0 heuristic, 1 force)
       5 insertion_ego_rotation_threshold   6 skipped_frames
       7 insertion_threshold_frames_skipped 8 distance_error_threshold
-      9 orientation_error_threshold
+      9 orientation_error_threshold       10 do_prune(0/1)
     In the streaming step entries 3/4/6 are overridden from device state.
+    Entry 10 amortizes the map prune sweep over a host-chosen cadence (the
+    reference prunes every frame; at 100 m thresholds a few frames of lag
+    is free and the sweep costs ~1.5 ms).
 
     packed result layout (f32[24]):
       0:4 quat_begin  4:7 tr_begin  7:11 quat_end  11:14 tr_end
@@ -262,7 +265,10 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
             inserted = jnp.int32(0)
             w, v = world[:sz], (sub_valid & add)[:sz]
             for i, level in enumerate(map_state.levels):
-                level = vm.prune_level(level, location, fs[2])
+                level = jax.lax.cond(
+                    fs[10] > 0,
+                    lambda lvl=level: vm.prune_level(lvl, location, fs[2]),
+                    lambda lvl=level: lvl)
                 # per-voxel normals are maintained on insert only when the
                 # solver reads them (visibility filter); exports recompute
                 # on demand (vm.recompute_level_normals)

@@ -69,9 +69,9 @@ class TestInsert:
         level = make_level()
         pts = np.tile(np.array([[3.3, 3.3, 3.3]]), (5, 1)) \
             + np.linspace(0, 0.4, 5)[:, None] * np.array([[1e-1, 0, 0]])
-        # default election cap (4 rounds) admits 4 of the 5 same-voxel
-        # points this frame; an explicit higher cap admits all 5
-        level4, n4 = insert(level, pts, min_dist=0.0)
+        # the election cap bounds same-voxel inserts per frame; a cap >=
+        # the multiplicity admits everything
+        level4, n4 = insert(level, pts, min_dist=0.0, max_rounds=4)
         occupied = np.asarray(level4.keys) > 1  # > TOMB
         assert occupied.sum() == 1
         assert int(n4) == 4
