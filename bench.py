@@ -76,8 +76,7 @@ def main():
     from ct_icp_tpu.datasets import synthetic as syn
     from ct_icp_tpu.odometry.odometry import Odometry
 
-    num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    warmup = 8
+    num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 80
 
     scene = build_scene()
     traj = straight_trajectory(400, num_frames * 0.1 + 0.5)
@@ -102,7 +101,11 @@ def main():
     # program) with one stacked upload and one packed readback, so the
     # per-dispatch tax and readback round trip (~1 ms each over the tunnel)
     # amortize across the batch (odometry.stream_frames(batch=...))
-    BATCH = 8
+    BATCH = 16
+    # warmup must be a whole number of megasteps: summaries arrive in
+    # bursts of BATCH, so a mid-burst t_start would credit frames whose
+    # compute happened before the clock started
+    warmup = 2 * BATCH
     failures = 0
     timed = 0
     t_start = None

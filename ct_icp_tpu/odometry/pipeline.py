@@ -156,7 +156,7 @@ def _rungs(cap: int, smallest: int):
     r = smallest
     while r < cap:
         out.append(r)
-        r *= 4
+        r *= 2
     out.append(cap)
     return out
 
