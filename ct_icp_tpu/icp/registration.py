@@ -108,10 +108,13 @@ class CTICPRegistration:
             use_lines=options.use_lines,
             use_distribution=options.use_distribution,
             use_distance_strategy=distance_strategy is not None,
-            # candidate compaction measured net-negative on the driving
-            # bench (top_k selection costs more than the smaller rescore
-            # saves) — available via SolverStatics.max_candidate_voxels
-            max_candidate_voxels=0,
+            # candidate compaction: net-negative at 27 candidates (top_k
+            # costs more than the smaller rescore saves) but decisive at
+            # nv>=2 (125+ candidates, of which only the ~2D surface sheet is
+            # occupied — row-gather and rescore shrink ~4x)
+            max_candidate_voxels=(
+                0 if (2 * nv + 1) ** 3 <= 27 else
+                min(48, (2 * nv + 1) ** 3)),
         )
         self._fn = slv.jitted_register_fn(self.statics)
         self._dyn_cache = {}

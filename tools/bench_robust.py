@@ -1,0 +1,75 @@
+"""Robust-regimen throughput bench (reference NCLT baseline: 0.26 s/frame,
+regression_config_short_nclt.yaml:22).
+
+Same synthetic driving scene as bench.py but driven through the robust
+escalation path (robust_registration=True). Prints one JSON line.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+
+from bench import build_scene, straight_trajectory  # noqa: E402
+
+BASELINE_SEC_PER_FRAME = 0.26
+
+
+def main():
+    from ct_icp_tpu.config.options import robust_driving_profile
+    from ct_icp_tpu.datasets import synthetic as syn
+    from ct_icp_tpu.odometry.odometry import Odometry
+
+    num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    warmup = 6
+
+    scene = build_scene()
+    traj = straight_trajectory(400, num_frames * 0.1 + 0.5)
+    acq = syn.SyntheticSensorAcquisition(
+        scene, traj,
+        syn.SyntheticAcquisitionOptions(
+            num_points_per_frame=100_000, frame_duration=0.1,
+            max_range=50.0, min_range=2.0, noise_sigma=0.01),
+        seed=3)
+    frames = [acq.frame(i) for i in range(min(num_frames, acq.num_frames()))]
+
+    odo = Odometry(robust_driving_profile())
+
+    failures = 0
+    attempts = 0
+    t_start = None
+    timed = 0
+    for i, fr in enumerate(frames):
+        if i == warmup:
+            t_start = time.time()
+        summary = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        if i >= warmup:
+            timed += 1
+            attempts += summary.number_of_attempts
+        if not summary.success:
+            failures += 1
+    sec_per_frame = (time.time() - t_start) / timed if timed else float("inf")
+
+    first_gt = frames[0]["begin_pose"]
+    errs = []
+    for est, fr in zip(odo.get_trajectory(), frames):
+        rel_gt = first_gt.inverse() * fr["end_pose"]
+        errs.append(np.linalg.norm(est.end_pose.tr - rel_gt.tr))
+
+    print(json.dumps({
+        "metric": "synthetic_robust_odometry_throughput",
+        "value": round(1.0 / sec_per_frame, 3),
+        "unit": "frames/s",
+        "vs_baseline": round((1.0 / sec_per_frame) * BASELINE_SEC_PER_FRAME, 3),
+        "sec_per_frame": round(sec_per_frame, 4),
+        "frames": timed,
+        "attempts": attempts,
+        "failures": failures,
+        "mean_ape_m": round(float(np.mean(errs)), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
