@@ -364,9 +364,22 @@ def default_driving_profile() -> OdometryOptions:
 
 
 def robust_driving_profile() -> OdometryOptions:
-    """Reference OdometryOptions::RobustDrivingProfile (odometry.cpp:38-90)."""
+    """Reference OdometryOptions::RobustDrivingProfile (odometry.cpp:38-90).
+
+    TPU deviation: the map keeps ONE 0.5 m level instead of the reference's
+    default {0.2, 0.5, 1.5} triple. This profile's solver (CERES, fixed
+    default_radius=0.8) only ever searches the 0.5 m level
+    (SearchParamsFromRadiusSearch picks the last level <= radius); on TPU the
+    unsearched levels are not lazily-allocated robin_maps but fixed device
+    arrays whose insert scatters cost ~1/3 of the frame — pure waste.
+    Multi-level maps remain fully supported (see MultiResolutionVoxelMapOptions
+    and the distance-strategy profiles that do search multiple radii).
+    """
     return OdometryOptions(
         voxel_size=0.5,
+        map_options=MultiResolutionVoxelMapOptions(
+            resolutions=(ResolutionParam(0.5, 0.1, 40, 19),),
+            default_radius=0.8),
         sample_voxel_size=1.5,
         max_distance=200.0,
         min_distance_points=0.05,

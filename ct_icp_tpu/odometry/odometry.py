@@ -332,6 +332,7 @@ class Odometry:
                 o.distance_error_threshold,
                 o.orientation_error_threshold,
                 1.0 if k % PRUNE_PERIOD == 0 else 0.0,
+                np.inf, np.inf, np.inf, 0.0,
             ], dtype=np.float32)
             t0 = time.time()
             scan_dev = prep["scan_dev"]
@@ -401,6 +402,7 @@ class Odometry:
                 o.distance_error_threshold,
                 o.orientation_error_threshold,
                 1.0 if info.registered_fid % PRUNE_PERIOD == 0 else 0.0,
+                np.inf, np.inf, np.inf, 0.0,
             ], dtype=np.float32)
 
         tail = []             # leftover preps (< batch) for single-frame drain
@@ -840,10 +842,16 @@ class Odometry:
     def _robust_registration_fused(self, xyz, timestamps, info: FrameInfo,
                                    summary: RegistrationSummary, prior,
                                    prep=None):
-        """Robust escalation on top of the fused frame step: each attempt is
-        one dispatch with insertion deferred (force_insert = -1); the final
-        map update goes through the host insertion heuristics
-        (reference RobustRegistration, odometry.cpp:780-852)."""
+        """Robust escalation on top of the fused frame step
+        (reference RobustRegistration, odometry.cpp:780-852).
+
+        Optimistic single-dispatch attempts: each attempt re-runs the robust
+        assessment ON DEVICE and inserts+prunes in the same dispatch when it
+        passes (frame scalar 4 = 2.0), so the common accept-on-first-attempt
+        frame costs ONE round trip. A failed attempt leaves the map
+        untouched; escalation re-dispatches, and only the rare
+        exhausted/override corners pay the deferred _update_map_host
+        dispatch."""
         o = self.options
         k = info.registered_fid
         scan_dev, n = self._prepare_device_scan(xyz, timestamps, info, prep)
@@ -880,20 +888,35 @@ class Odometry:
             increase_level()
 
         world_dev = None
+        summary.points_added = False
+        self._robust_inserted_on_device = False
+        self._robust_inserted_count = 0
+        # the device cannot see do_no_insert/always_insert; force the safe
+        # side and let the deferred path resolve (always_insert resolves as
+        # a device/host mismatch -> deferred dispatch)
+        gate_mode = -1.0 if o.do_no_insert else 2.0
         while True:
             summary.robust_level = robust_level
             dyn = self.registration.dynamics(attempt_opts)
+            # optimistic same-dispatch insertion: the device re-runs the
+            # robust assessment (frame scalars 11-14) and inserts/prunes ONLY
+            # when it passes — the common case then costs one round trip; a
+            # failed attempt leaves the map untouched and escalates on host
             fs = np.asarray([
                 o.init_voxel_size if startup else o.voxel_size,
                 sample_voxel_size,
-                1e30,  # disable pruning during attempts (a wild intermediate
-                       # pose estimate must not evict valid map points)
+                o.max_distance,
                 1.0,
-                -1.0,  # never insert during attempts
+                gate_mode,   # robust-gated insertion (see pipeline scalars)
                 o.insertion_ego_rotation_threshold, 0.0,
                 o.insertion_threshold_frames_skipped,
                 o.distance_error_threshold, o.orientation_error_threshold,
-                0.0,   # no pruning during attempts
+                1.0 if info.registered_fid % PRUNE_PERIOD == 0 else 0.0,
+                o.robust_threshold_relative_orientation,
+                o.robust_threshold_ego_orientation,
+                o.robust_relative_trans_threshold,
+                1.0 if (robust_level == 0
+                        and o.robust_num_attempts_when_rotation > 0) else 0.0,
             ], dtype=np.float32)
             self.map_state, packed, kp_dev, world_dev = self._frame_step(
                 self.map_state, scan_dev, jnp.int32(n),
@@ -914,6 +937,8 @@ class Odometry:
             summary.success = bool(r[17])
             summary.keypoints = kp_dev
             summary.number_of_attempts += 1
+            self._robust_inserted_on_device = bool(r[21])
+            self._robust_inserted_count = int(r[20])
 
             if k > 0:
                 prev = self.trajectory[k - 1]
@@ -941,8 +966,9 @@ class Odometry:
     def _do_register_robust_fused(self, xyz, timestamps, info: FrameInfo,
                                   prep=None) -> RegistrationSummary:
         """Robust regimen driven through the fused frame step: one dispatch
-        per attempt (insertion deferred), host assessment/escalation between
-        attempts, final map update with the robust insertion heuristics."""
+        per attempt (insertion applied on device when the attempt passes its
+        own assessment), host escalation between attempts, deferred map
+        update only for the mismatch corners."""
         o = self.options
         k = info.registered_fid
         if k == 0:
@@ -971,7 +997,10 @@ class Odometry:
         summary.corrected_points = world_dev
 
         self._compute_summary_metrics(summary, k)
-        self._update_map_host(summary, world_dev[0], world_dev[1], k)
+        self._update_map_host(
+            summary, world_dev[0], world_dev[1], k,
+            device_inserted=self._robust_inserted_on_device,
+            device_inserted_count=self._robust_inserted_count)
         self._maybe_rebase()
         self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
         return summary
@@ -1027,6 +1056,7 @@ class Odometry:
             o.distance_error_threshold,
             o.orientation_error_threshold,
             1.0 if k % PRUNE_PERIOD == 0 else 0.0,
+            np.inf, np.inf, np.inf, 0.0,
         ], dtype=np.float32)
 
         self.map_state, packed, kp_dev, world_dev = self._frame_step(
@@ -1142,9 +1172,18 @@ class Odometry:
             summary.ego_orientation = cur.ego_angular_distance()
 
     def _update_map_host(self, summary: RegistrationSummary, world, valid,
-                         k: int):
+                         k: int, device_inserted: Optional[bool] = None,
+                         device_inserted_count: int = 0):
         """Insertion decision + device map update
-        (reference UpdateMap, odometry.cpp:855-953)."""
+        (reference UpdateMap, odometry.cpp:855-953).
+
+        ``device_inserted`` (robust optimistic path): the attempt dispatch
+        already ran the robust-gated insert+prune on device; when its
+        decision matches the host's ``add_points``, the second dispatch is
+        skipped entirely (one round trip per robust frame in the common
+        case). A mismatch — possible only in corners the device cannot see
+        (always_insert, the consecutive-failure override after attempt
+        exhaustion) — falls back to the deferred update."""
         o = self.options
         add_points = True
         if o.robust_registration:
@@ -1182,15 +1221,27 @@ class Odometry:
         if o.always_insert:
             add_points = True
 
-        location = jnp.asarray(
-            self.trajectory[-1].end_pose.tr - self.origin, jnp.float32)
-        begin_tr = jnp.asarray(
-            summary.frame.begin_pose.tr - self.origin, jnp.float32)
-        self.map_state, inserted = self._update_map(
-            self.map_state, world, valid, begin_tr, location,
-            jnp.float32(o.max_distance), jnp.asarray(add_points),
-            prune=(k % PRUNE_PERIOD == 0))
-        summary.logged_values["map_inserted_points"] = int(inserted)
+        if device_inserted is not None and device_inserted == add_points:
+            # the attempt dispatch already applied this exact decision
+            summary.logged_values["map_inserted_points"] = \
+                device_inserted_count
+        elif device_inserted and not add_points:
+            # cannot un-insert; record the divergence (requires an exact
+            # threshold tie between the device f32 and host f64 comparisons)
+            summary.logged_values["map_inserted_points"] = \
+                device_inserted_count
+            summary.logged_values["insertion_divergence"] = 1.0
+            add_points = True
+        else:
+            location = jnp.asarray(
+                self.trajectory[-1].end_pose.tr - self.origin, jnp.float32)
+            begin_tr = jnp.asarray(
+                summary.frame.begin_pose.tr - self.origin, jnp.float32)
+            self.map_state, inserted = self._update_map(
+                self.map_state, world, valid, begin_tr, location,
+                jnp.float32(o.max_distance), jnp.asarray(add_points),
+                prune=(k % PRUNE_PERIOD == 0))
+            summary.logged_values["map_inserted_points"] = int(inserted)
         if add_points:
             self.insertion_tracker.insert_frame(k)
         else:

@@ -173,16 +173,30 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
     gather-bound candidate planes) — so a frame pays for the points it has,
     not for the static worst-case shapes.
 
-    frame_scalars layout (f32[11]):
+    frame_scalars layout (f32[15]):
       0 voxel_size          1 sample_voxel_size    2 max_distance
-      3 do_register(0/1)    4 force_insert(-1/0/1: -1 none, 0 heuristic, 1 force)
+      3 do_register(0/1)    4 force_insert(-1/0/1/2: -1 none, 0 heuristic,
+                              1 force, 2 robust-gated — insert only when the
+                              on-device robust assessment passes)
       5 insertion_ego_rotation_threshold   6 skipped_frames
       7 insertion_threshold_frames_skipped 8 distance_error_threshold
       9 orientation_error_threshold       10 do_prune(0/1)
+     11 robust_threshold_relative_orientation (deg)
+     12 robust_threshold_ego_orientation (deg)
+     13 robust_relative_trans_threshold
+     14 robust rotation-check applicability (0/1: 1 only at robust_level 0
+        with robust_num_attempts_when_rotation > 0)
+    Entries 11-14 replicate the robust branch of AssessRegistration
+    (reference odometry.cpp:604-684) on device so a robust attempt can
+    insert in the SAME dispatch when it passes — the common case — instead
+    of paying a second dispatch+readback round trip. Non-robust callers pass
+    +inf/0 there (no behavior change).
     In the streaming step entries 3/4/6 are overridden from device state.
     Entry 10 amortizes the map prune sweep over a host-chosen cadence (the
     reference prunes every frame; at 100 m thresholds a few frames of lag
-    is free and the sweep costs ~1.5 ms).
+    is free and the sweep costs ~1.5 ms). The prune itself is gated by the
+    on-device assessment: a wild intermediate pose estimate must not evict
+    valid map points around a wrong location.
 
     packed result layout (f32[24]):
       0:4 quat_begin  4:7 tr_begin  7:11 quat_end  11:14 tr_end
@@ -248,14 +262,22 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
         rel_dist = jnp.linalg.norm(te - tb)
         ego_or = s3.angular_distance_deg(qb, qe)
         rel_or = s3.angular_distance_deg(prior[0:4], qe)
+        rot_within = (rel_or <= fs[11]) & (ego_or <= fs[12])
+        robust_ok = ((fs[14] <= 0) | rot_within) & (rel_dist <= fs[13])
         assess_ok = ((rel_dist <= fs[8]) & (rel_or <= fs[9]) & (ego_or <= fs[9])
+                     & robust_ok
                      & result.valid_problem) | (do_register <= 0)
 
-        # ---- insertion decision (reference UpdateMap, odometry.cpp:918-933)
+        # ---- insertion decision (reference UpdateMap, odometry.cpp:918-933;
+        # robust-gated mode replicates the robust add_points logic of
+        # odometry.cpp:874-901 minus the consecutive-failure override, which
+        # only applies after attempt exhaustion and stays on the host path)
         heuristic_add = jnp.where(
             ego_or > fs[5], skipped_frames > fs[7], True)
         add = jnp.where(force_insert < 0, False,
-                        jnp.where(force_insert > 0, True, heuristic_add))
+                        jnp.where(force_insert > 1.5, rot_within,
+                                  jnp.where(force_insert > 0, True,
+                                            heuristic_add)))
         add = add & assess_ok
 
         location = te
@@ -266,7 +288,7 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
             w, v = world[:sz], (sub_valid & add)[:sz]
             for i, level in enumerate(map_state.levels):
                 level = jax.lax.cond(
-                    fs[10] > 0,
+                    (fs[10] > 0) & assess_ok,
                     lambda lvl=level: vm.prune_level(lvl, location, fs[2]),
                     lambda lvl=level: lvl)
                 # per-voxel normals are maintained on insert only when the

@@ -107,6 +107,30 @@ def test_odometry_robust_regimen():
         assert summary.success
 
 
+@pytest.mark.slow
+def test_odometry_robust_escalation_exhaustion():
+    """An impossible distance threshold exhausts every attempt; per reference
+    semantics the final attempt is still accepted, points still land in the
+    map via the deferred decision, and the robust level climbs for the next
+    frame (odometry.cpp:780-852, 890-901)."""
+    acq = make_acquisition(seed=11)
+    opts = small_options(robust_registration=True, robust_num_attempts=2,
+                         distance_error_threshold=1e-4)
+    odo = Odometry(opts)
+    fr = acq.frame(0)
+    s0 = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=0)
+    assert s0.success
+    size0 = odo.map_size()
+    fr = acq.frame(1)
+    s1 = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=1)
+    assert s1.number_of_attempts == 2          # exhausted, still accepted
+    assert odo.robust_num_consecutive_failures == 1
+    assert odo.next_robust_level >= 1          # escalated for the next frame
+    assert s1.points_added                      # deferred insertion applied
+    assert odo.map_size() > size0
+    assert len(odo.get_trajectory()) == 2
+
+
 def test_insertion_tracker_and_map_growth():
     acq = make_acquisition(seed=5)
     odo = Odometry(small_options())

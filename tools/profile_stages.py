@@ -66,7 +66,8 @@ def main():
                      1.0, 0.0, o.insertion_ego_rotation_threshold, 0.0,
                      o.insertion_threshold_frames_skipped,
                      o.distance_error_threshold,
-                     o.orientation_error_threshold], np.float32)
+                     o.orientation_error_threshold, 0.0,
+                     np.inf, np.inf, np.inf, 0.0], np.float32)
 
     def fused():
         # non-donating copy so we can repeat
