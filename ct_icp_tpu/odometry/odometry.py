@@ -172,13 +172,18 @@ class Odometry:
 
     def prepare_frame(self, xyz: np.ndarray, timestamps: np.ndarray,
                       registered_fid: int, frame_id: Optional[int] = None,
-                      upload: bool = True):
+                      upload: bool = True, pad_rung: int = 0):
         """Pad + compute alphas + upload one scan ahead of time.
 
         Thread-safe: a prefetch worker can prepare (and start uploading)
         frame k+1 while the device is busy with frame k, hiding the
         host->device transfer latency of the scan. ``registered_fid`` must be
         the position this frame will have in the registration order.
+
+        ``pad_rung`` pins the padded wire size (e.g. options.max_scan_points)
+        so every scan compiles to ONE program shape — a mid-sequence rung
+        flip costs a fresh multi-second XLA compile, which can dwarf the
+        upload bytes it saves when scan sizes straddle a power of two.
         """
         xyz = np.ascontiguousarray(xyz, dtype=np.float64)
         timestamps = np.ascontiguousarray(timestamps, dtype=np.float64)
@@ -199,7 +204,7 @@ class Odometry:
         alphas = self._frame_alphas(timestamps, info)
         # quantized wire format, padded to the smallest upload rung — the
         # scan upload dominates wall time on bandwidth-limited device links
-        rung = pl.scan_rung(cap, n)
+        rung = max(pl.scan_rung(cap, n), min(pad_rung, cap))
         packed = pl.pack_scan_u16(xyz, alphas, n, rung)
         return {
             "info": info, "n": n,
@@ -269,12 +274,20 @@ class Odometry:
 
         ``preps`` iterates prepare_frame dicts in registration order. Yields
         one RegistrationSummary per frame, each one batch behind its
-        dispatch. Requires the fused non-robust path.
+        dispatch. Robust profiles stream SPECULATIVELY (see
+        _stream_frames_robust): batches run at robust level 0 with
+        device-gated insertion, and any frame whose on-device assessment
+        fails triggers a map rollback + per-frame escalation replay.
         """
+        o = self.options
+        if o.robust_registration:
+            assert self._fused_available, \
+                "robust streaming requires the fused path"
+            yield from self._stream_frames_robust(preps, max(batch, 1))
+            return
         if batch > 1:
             yield from self._stream_frames_batched(preps, batch)
             return
-        o = self.options
         assert self._use_fused, "streaming requires the fused non-robust path"
         if self._stream_step is None:
             self._stream_step = pl.make_streaming_step_fn(
@@ -511,6 +524,185 @@ class Odometry:
             self.origin = self.origin + shift
         self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
         return summary
+
+    # ------------------------------------------- robust streaming (new) —
+    def _odo_state_from_host(self) -> "jnp.ndarray":
+        """Rebuild the device odometry state (pipeline.ODO_STATE_SIZE) from
+        the host trajectory/tracker — used when the robust streamer enters
+        (or re-enters after a rollback) speculative mode."""
+        s = np.array(pl.init_odo_state())
+        k = self.registered_frames
+        if k >= 1:
+            f = self.trajectory[k - 1]
+            s[0:4] = s3n.quat_normalize(f.begin_pose.quat)
+            s[4:7] = f.begin_pose.tr - self.origin
+            s[7:11] = s3n.quat_normalize(f.end_pose.quat)
+            s[11:14] = f.end_pose.tr - self.origin
+        if k >= 2:
+            f2 = self.trajectory[k - 2]
+            s[14:18] = s3n.quat_normalize(f2.begin_pose.quat)
+            s[18:21] = f2.begin_pose.tr - self.origin
+            s[21:25] = s3n.quat_normalize(f2.end_pose.quat)
+            s[25:28] = f2.end_pose.tr - self.origin
+        s[28] = float(k)
+        s[29] = float(self.insertion_tracker.skipped_frames)
+        s[30] = float(self.insertion_tracker.total_insertions)
+        return jnp.asarray(s.astype(np.float32))
+
+    def _robust_frame_scalars(self, info: FrameInfo) -> np.ndarray:
+        """Frame scalars for a speculative robust-level-0 streamed frame."""
+        o = self.options
+        startup = info.registered_fid < o.init_num_frames
+        return np.asarray([
+            o.init_voxel_size if startup else o.voxel_size,
+            o.init_sample_voxel_size if startup else o.sample_voxel_size,
+            o.max_distance, 0.0, 0.0,
+            o.insertion_ego_rotation_threshold, 0.0,
+            o.insertion_threshold_frames_skipped,
+            o.distance_error_threshold, o.orientation_error_threshold,
+            1.0 if info.registered_fid % PRUNE_PERIOD == 0 else 0.0,
+            o.robust_threshold_relative_orientation,
+            o.robust_threshold_ego_orientation,
+            o.robust_relative_trans_threshold,
+            1.0 if o.robust_num_attempts_when_rotation > 0 else 0.0,
+        ], dtype=np.float32)
+
+    def _stream_frames_robust(self, preps, batch: int):
+        """Speculative robust streaming (generator).
+
+        The robust regimen is host-driven control flow (escalate on failed
+        assessment, reference odometry.cpp:780-852), which in a per-frame
+        loop costs one device round trip per frame. But steady state is
+        accept-on-first-attempt at robust level 0, and the attempt's
+        assessment already runs ON DEVICE — so this path runs ``batch``
+        frames per dispatch exactly as the non-robust megastep does, with
+        robust-gated insertion (pipeline frame scalar 4 = 2.0), and treats
+        ``assess_ok & rot_within`` per frame as the license to have
+        speculated. On any frame that fails, the map+state roll back to the
+        batch-start checkpoint (a device-side copy taken before the
+        dispatch) and the whole batch replays through the per-frame
+        escalation path; streaming resumes once next_robust_level returns
+        to the minimal level. Accuracy-affecting semantics are identical to
+        register_frame: speculation only commits frames the per-frame path
+        would have accepted on attempt 0.
+        """
+        o = self.options
+        minimal = o.robust_minimal_level
+        multi_step = pl.make_multi_step_fn(
+            self.map_options, self.registration.statics,
+            sub_capacity=o.max_subsampled_points,
+            max_dirty=o.max_dirty_voxels,
+            distort_constant_velocity=(
+                o.motion_compensation == MotionCompensation.CONSTANT_VELOCITY),
+            const_velocity=(o.initialization
+                            == Initialization.INIT_CONSTANT_VELOCITY),
+            continuous=(o.motion_compensation == MotionCompensation.CONTINUOUS),
+            always_insert=o.always_insert, do_no_insert=o.do_no_insert,
+            batch=batch, robust_gated=True, with_checkpoint=True)
+        if self._stream_rebase is None:
+            self._stream_rebase = pl.make_stream_rebase_fn(self.map_options)
+
+        mm = o.default_motion_model
+        betas = (np.asarray([mm.beta_location_consistency,
+                             mm.beta_orientation_consistency,
+                             mm.beta_constant_velocity,
+                             mm.beta_small_velocity], np.float32)
+                 if o.with_default_motion_model else np.zeros(4, np.float32))
+        betas_dev = jnp.asarray(betas)
+
+        tail = []
+
+        def groups():
+            g = []
+            for prep in preps:
+                g.append(prep)
+                if len(g) == batch:
+                    yield g
+                    g = []
+            tail.extend(g)
+
+        def stack_upload(group):
+            """Stack + start the device transfer in the prefetch worker
+            (pure: no odometry state is mutated until the batch commits)."""
+            rung = max(p["scan_host"].shape[0] for p in group)
+            scans = np.zeros((batch, rung, 4), np.uint16)
+            dyns, fss, ns = [], [], []
+            for b, prep in enumerate(group):
+                info = prep["info"]
+                dyns.append(self.registration.dynamics(
+                    self._effective_icp_options(info)))
+                fss.append(self._robust_frame_scalars(info))
+                ns.append(prep["n"])
+                sh = prep["scan_host"]
+                scans[b, :sh.shape[0]] = sh
+            return (group, jnp.asarray(scans),
+                    jnp.asarray(np.asarray(ns, np.int32)),
+                    jnp.asarray(np.stack(dyns)), jnp.asarray(np.stack(fss)))
+
+        from ct_icp_tpu.odometry.concurrent import PrefetchIterator
+        speculative = True  # requires next_robust_level == minimal
+        self._odo_state = self._odo_state_from_host()
+
+        for group, scans_dev, ns_dev, dyns_dev, fss_dev in PrefetchIterator(
+                groups(), depth=2, transform=stack_upload):
+            if self.next_robust_level > minimal or not speculative:
+                # escalated: drain this group per-frame until a clean frame
+                # resets the level (reference next_robust_level semantics)
+                for prep in group:
+                    yield self.register_frame_prepared(prep)
+                speculative = self.next_robust_level <= minimal
+                if speculative:
+                    self._odo_state = self._odo_state_from_host()
+                continue
+
+            # host snapshot; the device-side rollback checkpoint is taken
+            # INSIDE the megastep program (with_checkpoint) — a separate
+            # copy dispatch pays per-buffer tunnel round trips
+            import copy as _copy
+            snap = (self.registered_frames, len(self.trajectory),
+                    self.origin.copy(),
+                    _copy.copy(self.insertion_tracker),
+                    self.next_robust_level,
+                    self.robust_num_consecutive_failures,
+                    self.suspect_registration_error)
+            self.map_state, self._odo_state, packed_all, ckpt = multi_step(
+                self.map_state, self._odo_state, scans_dev, ns_dev,
+                betas_dev, dyns_dev, fss_dev)
+            rows = np.asarray(packed_all, dtype=np.float64)
+            first_frame = group[0]["info"].registered_fid == 0
+            steady = (rows[:, 22] > 0) & (rows[:, 23] > 0) & (rows[:, 17] > 0)
+            if first_frame:
+                steady[0] = True  # frame 0 does not register
+            if bool(steady.all()):
+                del ckpt
+                for prep, row in zip(group, rows):
+                    info = prep["info"]
+                    self.registered_frames = info.registered_fid + 1
+                    summary = self._finish_streamed(
+                        info, row, None, None, self.origin.copy())
+                    summary.number_of_attempts = 1
+                    summary.robust_level = minimal
+                    self.robust_num_consecutive_failures = 0
+                    self.suspect_registration_error = False
+                    self.next_robust_level = minimal
+                    yield summary
+            else:
+                # rollback: restore the batch-start state and replay the
+                # whole batch through the per-frame escalation path
+                (self.registered_frames, traj_len, self.origin,
+                 self.insertion_tracker, self.next_robust_level,
+                 self.robust_num_consecutive_failures,
+                 self.suspect_registration_error) = snap
+                del self.trajectory[traj_len:]
+                self.map_state, self._odo_state = ckpt
+                for prep in group:
+                    yield self.register_frame_prepared(prep)
+                speculative = self.next_robust_level <= minimal
+                if speculative:
+                    self._odo_state = self._odo_state_from_host()
+
+        for prep in tail:
+            yield self.register_frame_prepared(prep)
 
     def get_trajectory(self) -> List[TrajectoryFrame]:
         return [f.copy() for f in self.trajectory]

@@ -202,6 +202,10 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
       0:4 quat_begin  4:7 tr_begin  7:11 quat_end  11:14 tr_end
       14 num_residuals 15 num_iters 16 converged 17 valid_problem
       18 sub_count 19 kp_count 20 inserted 21 points_added 22 assess_ok
+      23 rot_within (orientation within the robust thresholds; the robust
+         streaming path uses assess_ok & rot_within as its "steady" signal —
+         both must hold for the next frame to legitimately run at robust
+         level 0, reference odometry.cpp:890-901)
     """
     import dataclasses as _dc
 
@@ -309,7 +313,7 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
             f32(result.num_residuals), f32(result.num_iters),
             f32(result.converged), f32(result.valid_problem),
             f32(sub_cnt), f32(kp_cnt), f32(inserted), f32(add),
-            f32(assess_ok), jnp.zeros(1, jnp.float32)])
+            f32(assess_ok), f32(rot_within)])
         # keypoint/world arrays stay on device (free unless a consumer — the
         # CT-BA backend, or the robust path's deferred insertion — reads them)
         return (new_levels, packed,
@@ -364,11 +368,16 @@ def init_odo_state():
 def _make_stream_body(map_options, statics, sub_capacity: int,
                       max_dirty: int, distort_constant_velocity: bool,
                       const_velocity: bool, continuous: bool,
-                      always_insert: bool, do_no_insert: bool):
+                      always_insert: bool, do_no_insert: bool,
+                      robust_gated: bool = False):
     """Traceable per-frame streaming body shared by the single-frame step and
     the multi-frame megastep:
       (map_state, odo_state, scan_packed, n, betas, dyn, fs)
-        -> (map_state, odo_state, packed, kp, world)."""
+        -> (map_state, odo_state, packed, kp, world).
+
+    ``robust_gated``: insertion mode 2 (insert+prune only when the on-device
+    robust assessment passes) for every frame after the first inserted one —
+    the speculative robust streaming path (see Odometry robust streaming)."""
     import jax.numpy as jnp
     from ct_icp_tpu.core import se3 as s3
 
@@ -425,6 +434,8 @@ def _make_stream_body(map_options, statics, sub_capacity: int,
             force_insert = jnp.float32(-1.0)
         elif always_insert:
             force_insert = jnp.float32(1.0)
+        elif robust_gated:
+            force_insert = jnp.where(total_ins < 0.5, 1.0, 2.0)
         else:
             force_insert = jnp.where(total_ins < 0.5, 1.0, 0.0)
 
@@ -452,7 +463,8 @@ def _make_stream_body(map_options, statics, sub_capacity: int,
 def make_streaming_step_fn(map_options, statics, sub_capacity: int,
                            max_dirty: int, distort_constant_velocity: bool,
                            const_velocity: bool, continuous: bool,
-                           always_insert: bool, do_no_insert: bool):
+                           always_insert: bool, do_no_insert: bool,
+                           robust_gated: bool = False):
     """Device-resident odometry step: motion initialization, motion-model
     prior and the insertion tracker live in device state (``odo_state``), so
     dispatching frame k needs NOTHING from frame k-1's results on the host.
@@ -467,7 +479,8 @@ def make_streaming_step_fn(map_options, statics, sub_capacity: int,
     """
     body = _make_stream_body(map_options, statics, sub_capacity, max_dirty,
                              distort_constant_velocity, const_velocity,
-                             continuous, always_insert, do_no_insert)
+                             continuous, always_insert, do_no_insert,
+                             robust_gated)
     return functools.partial(jax.jit, donate_argnums=(0, 1))(body)
 
 
@@ -475,7 +488,9 @@ def make_streaming_step_fn(map_options, statics, sub_capacity: int,
 def make_multi_step_fn(map_options, statics, sub_capacity: int,
                        max_dirty: int, distort_constant_velocity: bool,
                        const_velocity: bool, continuous: bool,
-                       always_insert: bool, do_no_insert: bool, batch: int):
+                       always_insert: bool, do_no_insert: bool, batch: int,
+                       robust_gated: bool = False,
+                       with_checkpoint: bool = False):
     """K frames of streaming odometry in ONE dispatch (lax.scan over the
     batch): one upload of K packed scans, one readback of K packed results —
     the per-frame dispatch tax and readback round-trip amortize K-fold
@@ -485,13 +500,24 @@ def make_multi_step_fn(map_options, statics, sub_capacity: int,
 
     Signature: (map_state, odo_state, scans [K,R,4] u16, ns [K] i32,
     betas [4], dyns [K,D], fss [K,F]) -> (map_state, odo_state, packed [K,24]).
+
+    ``with_checkpoint``: also return a device-side snapshot of the INPUT
+    (map_state, odo_state) taken before any frame runs — the speculative
+    robust streamer's rollback point. Snapshotting inside the program costs
+    one on-device copy (~ms); a separate copy dispatch pays tunnel round
+    trips per buffer (measured ~150 ms/batch against a remote device).
     """
     body = _make_stream_body(map_options, statics, sub_capacity, max_dirty,
                              distort_constant_velocity, const_velocity,
-                             continuous, always_insert, do_no_insert)
+                             continuous, always_insert, do_no_insert,
+                             robust_gated)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def multi_step(map_state, odo_state, scans, ns, prior_betas, dyns, fss):
+        if with_checkpoint:
+            ckpt = jax.tree_util.tree_map(lambda x: x + 0,
+                                          (map_state, odo_state))
+
         def scan_body(carry, inputs):
             ms, os_ = carry
             scan_packed, n, dyn, fs = inputs
@@ -501,9 +527,19 @@ def make_multi_step_fn(map_options, statics, sub_capacity: int,
 
         (ms, os_), packed_all = jax.lax.scan(
             scan_body, (map_state, odo_state), (scans, ns, dyns, fss))
+        if with_checkpoint:
+            return ms, os_, packed_all, ckpt
         return ms, os_, packed_all
 
     return multi_step
+
+
+@functools.lru_cache(maxsize=1)
+def make_device_copy_fn():
+    """Jitted deep copy of a pytree ON DEVICE. jax.Array.copy() routes the
+    bytes through the host — catastrophic over a remote-device tunnel
+    (~250 MB of map state); x+0 compiles to a device-local copy."""
+    return jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
 
 
 @functools.lru_cache(maxsize=16)

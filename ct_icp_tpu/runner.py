@@ -120,6 +120,11 @@ class OdometryRunner:
                 # (device-resident motion init/tracker, odometry.stream_frames);
                 # the worker overlaps the scan upload with device compute
                 yield from odo.stream_frames(prepared)
+            elif (odo.options.robust_registration
+                  and getattr(odo, "_fused_available", False)):
+                # speculative robust streaming: batched robust-level-0
+                # attempts, rollback+per-frame replay on failed assessment
+                yield from odo.stream_frames(prepared, batch=4)
             else:
                 for prep in prepared:
                     yield odo.register_frame_prepared(prep)

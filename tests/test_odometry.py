@@ -108,6 +108,64 @@ def test_odometry_robust_regimen():
 
 
 @pytest.mark.slow
+def test_robust_streaming_matches_register_frame():
+    """Speculative robust streaming (batched robust-level-0 attempts with
+    device-gated insertion) must track the per-frame robust path closely;
+    steady-state summaries report attempt counts and success."""
+    acq = make_acquisition(seed=3)
+    n = 12
+    frames = [acq.frame(i) for i in range(n)]
+    opts = small_options(robust_registration=True, robust_num_attempts=3)
+
+    odo_a = Odometry(opts)
+    for i, fr in enumerate(frames):
+        s = odo_a.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        assert s.success
+    odo_b = Odometry(opts)
+    preps = (odo_b.prepare_frame(fr["xyz"], fr["timestamps"], i)
+             for i, fr in enumerate(frames))
+    summaries = list(odo_b.stream_frames(preps, batch=4))
+    assert len(summaries) == n
+    assert all(s.success for s in summaries)
+    ta, tb = odo_a.get_trajectory(), odo_b.get_trajectory()
+    for fa, fb in zip(ta, tb):
+        assert fa.end_pose.location_distance(fb.end_pose) < 0.05
+        assert fa.end_pose.angular_distance(fb.end_pose) < 0.5
+    assert odo_b.map_size() > 1000
+
+
+@pytest.mark.slow
+def test_robust_streaming_rollback_replay():
+    """With an impossible distance threshold every speculative batch fails
+    its on-device assessment; the streamer must roll the map back and
+    replay per-frame — ending in EXACTLY the per-frame path's state."""
+    acq = make_acquisition(seed=11)
+    n = 6
+    frames = [acq.frame(i) for i in range(n)]
+    opts = small_options(robust_registration=True, robust_num_attempts=2,
+                         distance_error_threshold=1e-4)
+
+    odo_a = Odometry(opts)
+    for i, fr in enumerate(frames):
+        odo_a.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+    odo_b = Odometry(opts)
+    preps = (odo_b.prepare_frame(fr["xyz"], fr["timestamps"], i)
+             for i, fr in enumerate(frames))
+    summaries = list(odo_b.stream_frames(preps, batch=4))
+    assert len(summaries) == n
+    # frames 1+ exhaust attempts in both paths (replay IS the per-frame path)
+    assert summaries[1].number_of_attempts == 2
+    assert odo_b.robust_num_consecutive_failures == \
+        odo_a.robust_num_consecutive_failures
+    assert odo_b.next_robust_level == odo_a.next_robust_level
+    ta, tb = odo_a.get_trajectory(), odo_b.get_trajectory()
+    assert len(ta) == len(tb) == n
+    for fa, fb in zip(ta, tb):
+        assert fa.end_pose.location_distance(fb.end_pose) < 1e-5
+    assert odo_a.map_size() == odo_b.map_size()
+
+
+@pytest.mark.slow
 def test_odometry_robust_escalation_exhaustion():
     """An impossible distance threshold exhausts every attempt; per reference
     semantics the final attempt is still accepted, points still land in the

@@ -20,13 +20,19 @@ BASELINE_SEC_PER_FRAME = 0.26
 def main():
     from ct_icp_tpu.config.options import robust_driving_profile
     from ct_icp_tpu.datasets import synthetic as syn
+    from ct_icp_tpu.odometry.concurrent import PrefetchIterator
     from ct_icp_tpu.odometry.odometry import Odometry
 
     num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    warmup = 6
+    mode = sys.argv[2] if len(sys.argv) > 2 else "stream"
 
     scene = build_scene()
-    traj = straight_trajectory(400, num_frames * 0.1 + 0.5)
+    # cruise below 1 m/frame: the reference robust profile REJECTS frames
+    # whose begin->end translation exceeds robust_relative_trans_threshold
+    # (1.0 m, odometry.h:102) and burns all 10 attempts on them — a
+    # semantics we replicate, but benching inside that regime measures
+    # threshold thrash, not throughput
+    traj = straight_trajectory(400, num_frames * 0.1 + 0.5, speed=8.0)
     acq = syn.SyntheticSensorAcquisition(
         scene, traj,
         syn.SyntheticAcquisitionOptions(
@@ -39,20 +45,50 @@ def main():
 
     failures = 0
     attempts = 0
-    times = []
-    for i, fr in enumerate(frames):
-        t0 = time.time()
-        summary = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
-        if i >= warmup:
-            times.append(time.time() - t0)
-            attempts += summary.number_of_attempts
-        if not summary.success:
-            failures += 1
-    # median: robust to mid-run recompiles when the map crosses capacity
-    # rungs (a one-time cost that a 24-frame run cannot amortize but a real
-    # sequence does)
-    sec_per_frame = float(np.median(times)) if times else float("inf")
-    timed = len(times)
+    if mode == "stream":
+        # speculative robust streaming: batches of robust-level-0 attempts,
+        # device-gated insertion, rollback+replay on any failed assessment
+        BATCH = 8
+        warmup = 2 * BATCH
+
+        def _prepare(item):
+            i, fr = item
+            # pin the wire rung: scan sizes straddle 64k between standstill
+            # and cruise, and a rung flip mid-run costs an ~18 s recompile
+            return odo.prepare_frame(fr["xyz"], fr["timestamps"],
+                                     registered_fid=i, frame_id=i,
+                                     upload=False,
+                                     pad_rung=odo.options.max_scan_points)
+
+        timed = 0
+        t_start = None
+        prepared = PrefetchIterator(enumerate(frames), depth=2 * BATCH,
+                                    transform=_prepare)
+        for i, summary in enumerate(odo.stream_frames(prepared, batch=BATCH)):
+            if i == warmup - 1:
+                t_start = time.time()
+            elif i >= warmup:
+                timed += 1
+                attempts += summary.number_of_attempts
+            if not summary.success:
+                failures += 1
+        sec_per_frame = ((time.time() - t_start) / timed
+                         if timed else float("inf"))
+    else:
+        # per-frame API; median is robust to mid-run capacity-rung recompiles
+        warmup = 6
+        times = []
+        for i, fr in enumerate(frames):
+            t0 = time.time()
+            summary = odo.register_frame(fr["xyz"], fr["timestamps"],
+                                         frame_id=i)
+            if i >= warmup:
+                times.append(time.time() - t0)
+                attempts += summary.number_of_attempts
+            if not summary.success:
+                failures += 1
+        sec_per_frame = float(np.median(times)) if times else float("inf")
+        timed = len(times)
 
     first_gt = frames[0]["begin_pose"]
     errs = []
