@@ -94,8 +94,12 @@ def main():
 
     def _prepare(item):
         i, fr = item
+        # pinned wire rung: scan sizes that straddle a power of two
+        # mid-sequence would otherwise force a fresh multi-second XLA
+        # compile of the megastep inside the timed window
         return odo.prepare_frame(fr["xyz"], fr["timestamps"],
-                                 registered_fid=i, frame_id=i, upload=False)
+                                 registered_fid=i, frame_id=i, upload=False,
+                                 pad_rung=odo.options.max_scan_points)
 
     # streaming megastep mode: BATCH frames ride one dispatch (lax.scan
     # program) with one stacked upload and one packed readback, so the

@@ -675,11 +675,15 @@ class Odometry:
                 steady[0] = True  # frame 0 does not register
             if bool(steady.all()):
                 del ckpt
+                # one origin for the whole batch: the rows were all computed
+                # in the dispatch-time map frame, and _finish_streamed may
+                # rebase (shifting self.origin) between frames of this batch
+                origin0 = self.origin.copy()
                 for prep, row in zip(group, rows):
                     info = prep["info"]
                     self.registered_frames = info.registered_fid + 1
                     summary = self._finish_streamed(
-                        info, row, None, None, self.origin.copy())
+                        info, row, None, None, origin0)
                     summary.number_of_attempts = 1
                     summary.robust_level = minimal
                     self.robust_num_consecutive_failures = 0

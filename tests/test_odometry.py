@@ -135,6 +135,30 @@ def test_robust_streaming_matches_register_frame():
 
 
 @pytest.mark.slow
+def test_robust_streaming_rebase_mid_batch():
+    """A tiny rebase distance forces floating-origin rebases inside a
+    streamed batch; every row of a batch must be finished against the
+    DISPATCH-time origin, not the origin a mid-batch rebase moved."""
+    acq = make_acquisition(seed=3)
+    n = 12
+    frames = [acq.frame(i) for i in range(n)]
+    opts = small_options(robust_registration=True, robust_num_attempts=3)
+
+    odo_a = Odometry(opts)
+    odo_a.rebase_distance = 1.0
+    for i, fr in enumerate(frames):
+        odo_a.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+    odo_b = Odometry(opts)
+    odo_b.rebase_distance = 1.0
+    preps = (odo_b.prepare_frame(fr["xyz"], fr["timestamps"], i)
+             for i, fr in enumerate(frames))
+    summaries = list(odo_b.stream_frames(preps, batch=4))
+    assert all(s.success for s in summaries)
+    for fa, fb in zip(odo_a.get_trajectory(), odo_b.get_trajectory()):
+        assert fa.end_pose.location_distance(fb.end_pose) < 0.05
+
+
+@pytest.mark.slow
 def test_robust_streaming_rollback_replay():
     """With an impossible distance threshold every speculative batch fails
     its on-device assessment; the streamer must roll the map back and
