@@ -49,11 +49,10 @@ def main():
         print(f"nv={nv}: find_slots_with_count [{m},{o}]:  {t:7.2f} ms")
 
         ok = cnt > 0
-        score = jnp.where(ok, 1.0, -1.0)
-        t, _ = timeit(jax.jit(lambda s: jax.lax.top_k(s, 48)), score)
-        print(f"nv={nv}: top_k(48) over [{m},{o}]:         {t:7.2f} ms")
-
         oc = min(48, o)
+        score = jnp.where(ok, 1.0, -1.0)
+        t, _ = timeit(jax.jit(lambda s: jax.lax.top_k(s, oc)), score)
+        print(f"nv={nv}: top_k({oc}) over [{m},{o}]:         {t:7.2f} ms")
         sel = jnp.argsort(-score, axis=1)[:, :oc]
         slot_c = jnp.take_along_axis(jnp.where(slots >= 0, slots, 0), sel, 1)
         t, rows = timeit(jax.jit(lambda s: level.points[s]), slot_c)

@@ -31,7 +31,8 @@ def main():
     o = robust_driving_profile()
     odo = Odometry(o)
     BATCH = 8
-    preps = [odo.prepare_frame(fr["xyz"], fr["timestamps"], i, upload=False)
+    preps = [odo.prepare_frame(fr["xyz"], fr["timestamps"], i, upload=False,
+                               pad_rung=o.max_scan_points)
              for i, fr in enumerate(frames)]
 
     multi_step = pl.make_multi_step_fn(
