@@ -28,6 +28,11 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=-1)
     parser.add_argument("--output-dir", default=".outputs")
     parser.add_argument("--no-output", action="store_true")
+    parser.add_argument("--trace-dir", default=None, metavar="DIR",
+                        help="Capture a JAX profiler trace of the run into "
+                             "DIR (open with TensorBoard / Perfetto) — the "
+                             "TPU analog of the reference's per-phase chrono "
+                             "instrumentation (SlamCore/timer.h)")
     args = parser.parse_args(argv)
 
     from ct_icp_tpu.config import options as O
@@ -62,7 +67,12 @@ def main(argv=None):
         parser.error("No datasets configured (use -c config.yaml or --dataset)")
 
     runner = OdometryRunner(cfg)
-    ok = runner.run()
+    if args.trace_dir:
+        import jax
+        with jax.profiler.trace(args.trace_dir):
+            ok = runner.run()
+    else:
+        ok = runner.run()
     for name, r in runner.results.items():
         line = (f"[{name}] frames={r.num_frames} "
                 f"avg={r.avg_runtime_ms:.1f} ms/frame")

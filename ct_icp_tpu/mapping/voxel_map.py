@@ -344,12 +344,19 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
     pos = ecount + rank
     accept = eligible & (pos < p)
 
-    base = jnp.where(accept, slot * (p * 3) + pos, c * p * 3)
+    # rejected points get DISTINCT out-of-bounds sentinels (c*p*3 + 3i + k):
+    # unique_indices promises XLA every index is unique, and a shared
+    # sentinel would break that contract (undefined behavior if the
+    # compiler exploits it). Accepted indices are unique by construction
+    # (one (slot, pos) per accepted point).
+    pid3 = 3 * jnp.arange(pts.shape[0], dtype=jnp.int32)
+    base = jnp.where(accept, slot * (p * 3) + pos, c * p * 3 + pid3)
     flat = level.points.reshape(-1)
     # one fused scatter for all three coordinate planes: each extra scatter
     # op on the [C, P*3] buffer pays a full-buffer copy whenever XLA cannot
     # alias it in place (measured 4.4 ms per copy at level-0 scale)
-    idx = jnp.concatenate([base, base + p, base + 2 * p])
+    off = jnp.where(accept, p, 1)
+    idx = jnp.concatenate([base, base + off, base + 2 * off])
     val = jnp.concatenate([pts[:, 0], pts[:, 1], pts[:, 2]])
     flat = flat.at[idx].set(val, mode="drop", unique_indices=True)
     new_points = flat.reshape(c, p * 3)

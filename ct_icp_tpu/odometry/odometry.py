@@ -151,6 +151,10 @@ class Odometry:
         self.insertion_tracker = _InsertionTracker(options)
         self.rng = np.random.default_rng(seed)
         self.callbacks: Dict[str, list] = {}
+        # a cadence prune that could not run (robust attempt failed its
+        # on-device assessment, so the gated prune was skipped) is owed to
+        # the next frame that can prune safely
+        self._prune_owed = False
 
     # ------------------------------------------------------------- public API —
     def map_size(self) -> int:
@@ -550,8 +554,14 @@ class Odometry:
         return jnp.asarray(s.astype(np.float32))
 
     def _robust_frame_scalars(self, info: FrameInfo) -> np.ndarray:
-        """Frame scalars for a speculative robust-level-0 streamed frame."""
+        """Frame scalars for a speculative robust-level-0 streamed frame.
+
+        Thresholds carry the same tie-breaking margin as the per-frame
+        attempts: a device/host threshold tie must resolve to a rollback
+        (where the host f64 assessment arbitrates), never to a speculative
+        commit the host would have rejected."""
         o = self.options
+        gm = 1.0 - 1e-4
         startup = info.registered_fid < o.init_num_frames
         return np.asarray([
             o.init_voxel_size if startup else o.voxel_size,
@@ -559,11 +569,12 @@ class Odometry:
             o.max_distance, 0.0, 0.0,
             o.insertion_ego_rotation_threshold, 0.0,
             o.insertion_threshold_frames_skipped,
-            o.distance_error_threshold, o.orientation_error_threshold,
+            o.distance_error_threshold * gm,
+            o.orientation_error_threshold * gm,
             1.0 if info.registered_fid % PRUNE_PERIOD == 0 else 0.0,
-            o.robust_threshold_relative_orientation,
-            o.robust_threshold_ego_orientation,
-            o.robust_relative_trans_threshold,
+            o.robust_threshold_relative_orientation * gm,
+            o.robust_threshold_ego_orientation * gm,
+            o.robust_relative_trans_threshold * gm,
             1.0 if o.robust_num_attempts_when_rotation > 0 else 0.0,
         ], dtype=np.float32)
 
@@ -640,17 +651,22 @@ class Odometry:
                     jnp.asarray(np.stack(dyns)), jnp.asarray(np.stack(fss)))
 
         from ct_icp_tpu.odometry.concurrent import PrefetchIterator
-        speculative = True  # requires next_robust_level == minimal
+        # speculation requires the EFFECTIVE robust level to be 0: the
+        # speculative dyns/frame-scalars are the un-escalated level-0
+        # options, and register_frame pre-escalates every attempt by
+        # next_robust_level (reference odometry.cpp:770-772). A profile
+        # with robust_minimal_level > 0 therefore always drains per-frame.
+        speculative = True
         self._odo_state = self._odo_state_from_host()
 
         for group, scans_dev, ns_dev, dyns_dev, fss_dev in PrefetchIterator(
                 groups(), depth=2, transform=stack_upload):
-            if self.next_robust_level > minimal or not speculative:
+            if self.next_robust_level > 0 or not speculative:
                 # escalated: drain this group per-frame until a clean frame
                 # resets the level (reference next_robust_level semantics)
                 for prep in group:
                     yield self.register_frame_prepared(prep)
-                speculative = self.next_robust_level <= minimal
+                speculative = self.next_robust_level <= 0
                 if speculative:
                     self._odo_state = self._odo_state_from_host()
                 continue
@@ -701,7 +717,7 @@ class Odometry:
                 self.map_state, self._odo_state = ckpt
                 for prep in group:
                     yield self.register_frame_prepared(prep)
-                speculative = self.next_robust_level <= minimal
+                speculative = self.next_robust_level <= 0
                 if speculative:
                     self._odo_state = self._odo_state_from_host()
 
@@ -753,6 +769,7 @@ class Odometry:
         self.suspect_registration_error = False
         self.next_robust_level = self.options.robust_minimal_level
         self.insertion_tracker = _InsertionTracker(self.options)
+        self._prune_owed = False
         self.default_motion_model.reset()
 
     # ------------------------------------------------------- motion init —
@@ -1098,6 +1115,11 @@ class Odometry:
             # robust assessment (frame scalars 11-14) and inserts/prunes ONLY
             # when it passes — the common case then costs one round trip; a
             # failed attempt leaves the map untouched and escalates on host
+            # GATE_MARGIN keeps the device (f32) insert gate strictly tighter
+            # than the host (f64) assessment: a threshold tie must resolve to
+            # "device skipped, host inserts via the deferred dispatch" — the
+            # reverse (device inserted a host-rejected pose) cannot be undone
+            gm = 1.0 - 1e-4
             fs = np.asarray([
                 o.init_voxel_size if startup else o.voxel_size,
                 sample_voxel_size,
@@ -1106,11 +1128,13 @@ class Odometry:
                 gate_mode,   # robust-gated insertion (see pipeline scalars)
                 o.insertion_ego_rotation_threshold, 0.0,
                 o.insertion_threshold_frames_skipped,
-                o.distance_error_threshold, o.orientation_error_threshold,
-                1.0 if info.registered_fid % PRUNE_PERIOD == 0 else 0.0,
-                o.robust_threshold_relative_orientation,
-                o.robust_threshold_ego_orientation,
-                o.robust_relative_trans_threshold,
+                o.distance_error_threshold * gm,
+                o.orientation_error_threshold * gm,
+                1.0 if (info.registered_fid % PRUNE_PERIOD == 0
+                        or self._prune_owed) else 0.0,
+                o.robust_threshold_relative_orientation * gm,
+                o.robust_threshold_ego_orientation * gm,
+                o.robust_relative_trans_threshold * gm,
                 1.0 if (robust_level == 0
                         and o.robust_num_attempts_when_rotation > 0) else 0.0,
             ], dtype=np.float32)
@@ -1135,6 +1159,7 @@ class Odometry:
             summary.number_of_attempts += 1
             self._robust_inserted_on_device = bool(r[21])
             self._robust_inserted_count = int(r[20])
+            self._robust_assess_ok_device = bool(r[22])
 
             if k > 0:
                 prev = self.trajectory[k - 1]
@@ -1157,6 +1182,11 @@ class Odometry:
             self.robust_num_consecutive_failures += 1
         else:
             self.robust_num_consecutive_failures = 0
+        # a requested prune only ran if the final attempt's device assessment
+        # passed (pipeline gates the sweep on assess_ok)
+        prune_requested = (k % PRUNE_PERIOD == 0) or self._prune_owed
+        self._prune_owed = (prune_requested
+                            and not self._robust_assess_ok_device)
         return world_dev
 
     def _do_register_robust_fused(self, xyz, timestamps, info: FrameInfo,
@@ -1436,7 +1466,8 @@ class Odometry:
             self.map_state, inserted = self._update_map(
                 self.map_state, world, valid, begin_tr, location,
                 jnp.float32(o.max_distance), jnp.asarray(add_points),
-                prune=(k % PRUNE_PERIOD == 0))
+                prune=(k % PRUNE_PERIOD == 0) or self._prune_owed)
+            self._prune_owed = False
             summary.logged_values["map_inserted_points"] = int(inserted)
         if add_points:
             self.insertion_tracker.insert_frame(k)

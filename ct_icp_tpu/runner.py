@@ -105,12 +105,21 @@ class OdometryRunner:
         # thread while the device registers the current one
         from ct_icp_tpu.odometry.concurrent import PrefetchIterator
 
+        robust_stream = (not getattr(odo, "_use_fused", False)
+                         and odo.options.robust_registration
+                         and getattr(odo, "_fused_available", False))
+
         def _prepare(item):
             i, frame = item
             ts = (frame["timestamps"] if frame.get("timestamps") is not None
                   else np.zeros(frame["xyz"].shape[0]))
-            return odo.prepare_frame(frame["xyz"], ts, registered_fid=i,
-                                     frame_id=i)
+            # robust streaming stacks scans itself: skip the individual
+            # upload (it would be paid twice) and pin the wire rung so a
+            # mid-sequence scan-size rung flip cannot recompile the megastep
+            return odo.prepare_frame(
+                frame["xyz"], ts, registered_fid=i, frame_id=i,
+                upload=not robust_stream,
+                pad_rung=odo.options.max_scan_points if robust_stream else 0)
 
         def summaries():
             prepared = PrefetchIterator(enumerate(seq), depth=2,
@@ -120,8 +129,7 @@ class OdometryRunner:
                 # (device-resident motion init/tracker, odometry.stream_frames);
                 # the worker overlaps the scan upload with device compute
                 yield from odo.stream_frames(prepared)
-            elif (odo.options.robust_registration
-                  and getattr(odo, "_fused_available", False)):
+            elif robust_stream:
                 # speculative robust streaming: batched robust-level-0
                 # attempts, rollback+per-frame replay on failed assessment
                 yield from odo.stream_frames(prepared, batch=4)

@@ -78,7 +78,7 @@ def audit():
     scan = jnp.zeros((32768, 4), jnp.uint16)
     n = jnp.int32(100)
     pose_init = jnp.zeros(14, jnp.float32).at[0].set(1.0).at[7].set(1.0)
-    fs = jnp.zeros(10, jnp.float32)
+    fs = jnp.full((15,), jnp.inf, jnp.float32).at[0:11].set(0.0)
     frame_step = pl.make_frame_step_fn(
         o.map_options, statics, sub_capacity=16384, max_dirty=4096,
         distort_constant_velocity=False)

@@ -69,7 +69,8 @@ def main():
         [o.voxel_size, o.sample_voxel_size, o.max_distance, 1.0, 0.0,
          o.insertion_ego_rotation_threshold, 0.0,
          o.insertion_threshold_frames_skipped, o.distance_error_threshold,
-         o.orientation_error_threshold], np.float32))
+         o.orientation_error_threshold, 0.0,
+         np.inf, np.inf, np.inf, 0.0], np.float32))
     pose_dev = jnp.asarray(pose_init)
     n_dev = jnp.int32(prep["n"])
 
