@@ -161,3 +161,31 @@ def motion_prior_residuals(qb, tb, qe, te, prior, num_residuals):
     r_cv = w_cv * ((te - tb) - prior["prev_velocity"])
     r_sv = w_sv * (tb - te)
     return jnp.concatenate([r_loc, r_or, r_cv, r_sv])
+
+
+def prediction_consistency_residuals(qb, tb, qe, te, prior):
+    """The PredictionConsistencyModel constraint rows (reference
+    src/ct_icp/motion_model.cpp:188-283): location/orientation consistency
+    of the begin and end poses against an external prediction, plus the
+    4-row relative-pose functor (cost_functions.h:231-268) tying
+    begin^-1 * end to the predicted relative transform.
+
+    ``prior`` carries the predicted poses and the already-scaled weights
+    (alpha / beta_scale, reference motion_model.cpp:196-280 — note these are
+    NOT sqrt(N)-scaled, unlike the PreviousFrameMotionModel rows). A zero
+    weight disables its rows. Returns a [12] residual vector.
+    """
+    qbn = s3.quat_normalize(qb)
+    qen = s3.quat_normalize(qe)
+    r_b_loc = prior["w_begin_tr"] * (tb - prior["pred_begin_tr"])
+    dq_b = jnp.sum(qbn * prior["pred_begin_quat"], axis=-1)
+    r_b_rot = (prior["w_begin_rot"] * (1.0 - dq_b * dq_b))[None]
+    r_e_loc = prior["w_end_tr"] * (te - prior["pred_end_tr"])
+    dq_e = jnp.sum(qen * prior["pred_end_quat"], axis=-1)
+    r_e_rot = (prior["w_end_rot"] * (1.0 - dq_e * dq_e))[None]
+    rq, rt = s3.se3_compose(*s3.se3_inverse(qbn, tb), qen, te)
+    dq_r = jnp.sum(s3.quat_normalize(rq) * prior["pred_rel_quat"], axis=-1)
+    r_r_rot = (prior["w_rel_rot"] * (1.0 - dq_r * dq_r))[None]
+    r_r_tr = prior["w_rel_tr"] * (rt - prior["pred_rel_tr"])
+    return jnp.concatenate([r_b_loc, r_b_rot, r_e_loc, r_e_rot,
+                            r_r_rot, r_r_tr])

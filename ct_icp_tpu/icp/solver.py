@@ -335,7 +335,11 @@ def _residual_vector(statics, dyn, delta, raw, alphas, anchors, normals, lines,
             statics.distance, world, anchors, normals, lines, cov_inv, geom_w)
     geo = jnp.where(ok[:, None], geo, 0.0).reshape(-1)
     pri = res.motion_prior_residuals(qb2, tb2, qe2, te2, prior, n_res)
-    return jnp.concatenate([geo, pri])
+    rows = [geo, pri]
+    if "pred_begin_quat" in prior:
+        rows.append(res.prediction_consistency_residuals(
+            qb2, tb2, qe2, te2, prior))
+    return jnp.concatenate(rows)
 
 
 def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
@@ -378,7 +382,8 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
         pr, _ = point_rows(r0)
         w_pts = res.irls_weight(statics.loss, pr * pr, dyn.ls_sigma,
                                 dyn.ls_tolerant_min_threshold)
-        w = jnp.concatenate([w_pts, jnp.ones((10,), dtype=raw.dtype)])
+        w = jnp.concatenate(
+            [w_pts, jnp.ones((r0.shape[0] - nrows,), dtype=raw.dtype)])
 
         if _freeze_begin_cols(statics):
             jac = jac.at[:, 0:6].set(0.0)
@@ -418,9 +423,14 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
 
 
 def unpack_prior(packed):
-    """Unpack the [14] prior vector of registration.pack_prior into the dict
-    consumed by residuals.motion_prior_residuals."""
-    return {
+    """Unpack a packed prior vector into the dict consumed by
+    residuals.motion_prior_residuals.
+
+    [14]: the PreviousFrameMotionModel layout of registration.make_prior.
+    [41]: extends it with the PredictionConsistencyModel block (predicted
+    begin/end/relative poses + 6 pre-scaled constraint weights, see
+    odometry.motion_model.PredictionConsistencyModel.device_prior)."""
+    out = {
         "prev_end_quat": packed[0:4],
         "prev_end_tr": packed[4:7],
         "prev_velocity": packed[7:10],
@@ -429,6 +439,22 @@ def unpack_prior(packed):
         "beta_constant_velocity": packed[12],
         "beta_small_velocity": packed[13],
     }
+    if packed.shape[0] >= 41:
+        out.update({
+            "pred_begin_quat": packed[14:18],
+            "pred_begin_tr": packed[18:21],
+            "pred_end_quat": packed[21:25],
+            "pred_end_tr": packed[25:28],
+            "pred_rel_quat": packed[28:32],
+            "pred_rel_tr": packed[32:35],
+            "w_begin_tr": packed[35],
+            "w_begin_rot": packed[36],
+            "w_end_tr": packed[37],
+            "w_end_rot": packed[38],
+            "w_rel_rot": packed[39],
+            "w_rel_tr": packed[40],
+        })
+    return out
 
 
 def build_register_fn(statics: SolverStatics):

@@ -243,3 +243,98 @@ def test_distance_based_strategy(room):
     summary = reg.register(room, raw, ts, init)
     assert summary.success
     assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.03
+
+
+def test_prediction_consistency_rows_match_reference_functors():
+    """residuals.prediction_consistency_residuals reproduces the reference
+    functor values (cost_functions.h:231-314) for a random state."""
+    import jax
+    from ct_icp_tpu.icp import residuals as res
+    from ct_icp_tpu.icp import solver as slv
+    from ct_icp_tpu.odometry.motion_model import (
+        PredictionConsistencyModel, PredictionConsistencyOptions)
+
+    rng = np.random.default_rng(7)
+    opts = PredictionConsistencyOptions(
+        alpha_begin_tr_constraint=3.0, alpha_begin_rot_constraint=2.0,
+        alpha_end_tr_constraint=5.0, alpha_end_rot_constraint=4.0,
+        alpha_relative_rot_constraint=100.0, alpha_relative_tr_constraint=60.0)
+    model = PredictionConsistencyModel(opts)
+    pred = TrajectoryFrame(
+        Pose(s3n.quat_from_rotvec(rng.normal(scale=0.1, size=3)),
+             rng.normal(size=3), timestamp=0.0),
+        Pose(s3n.quat_from_rotvec(rng.normal(scale=0.1, size=3)),
+             rng.normal(size=3), timestamp=1.0))
+    model.set_prediction(pred)
+    packed = model.device_prior(np.zeros(3))
+    assert packed.shape == (41,)
+
+    qb = s3n.quat_from_rotvec(rng.normal(scale=0.05, size=3)).astype(np.float32)
+    tb = rng.normal(size=3).astype(np.float32)
+    qe = s3n.quat_from_rotvec(rng.normal(scale=0.05, size=3)).astype(np.float32)
+    te = rng.normal(size=3).astype(np.float32)
+    rows = np.asarray(jax.jit(
+        lambda *a: res.prediction_consistency_residuals(
+            a[0], a[1], a[2], a[3], slv.unpack_prior(a[4])))(
+        jnp.asarray(qb), jnp.asarray(tb), jnp.asarray(qe), jnp.asarray(te),
+        jnp.asarray(packed)))
+    assert rows.shape == (12,)
+
+    # numpy recomputation straight from the functor definitions
+    o = opts
+    w_b_tr = o.alpha_begin_tr_constraint / o.beta_scale_tr_m
+    w_b_rot = o.alpha_begin_rot_constraint / o.beta_scale_rot_deg
+    w_e_tr = o.alpha_end_tr_constraint / o.beta_scale_tr_m
+    w_e_rot = o.alpha_end_rot_constraint / o.beta_scale_rot_deg
+    w_r_rot = o.alpha_relative_rot_constraint / o.beta_scale_rot_deg
+    w_r_tr = o.alpha_relative_tr_constraint / o.beta_scale_tr_m
+
+    exp = np.zeros(12)
+    exp[0:3] = w_b_tr * (tb - pred.begin_pose.tr)
+    dq = float(np.dot(s3n.quat_normalize(qb),
+                      s3n.quat_normalize(pred.begin_pose.quat)))
+    exp[3] = w_b_rot * (1.0 - dq * dq)
+    exp[4:7] = w_e_tr * (te - pred.end_pose.tr)
+    dq = float(np.dot(s3n.quat_normalize(qe),
+                      s3n.quat_normalize(pred.end_pose.quat)))
+    exp[7] = w_e_rot * (1.0 - dq * dq)
+    rel_pred = pred.begin_pose.inverse() * pred.end_pose
+    rq, rt = s3n.se3_compose(*s3n.se3_inverse(s3n.quat_normalize(qb), tb),
+                             s3n.quat_normalize(qe), te)
+    dq = float(np.dot(s3n.quat_normalize(rq),
+                      s3n.quat_normalize(rel_pred.quat)))
+    exp[8] = w_r_rot * (1.0 - dq * dq)
+    exp[9:12] = w_r_tr * (rt - rel_pred.tr)
+    np.testing.assert_allclose(rows, exp, rtol=2e-4, atol=2e-4)
+
+
+def test_prediction_consistency_model_constrains_registration(room):
+    """A strong prediction-consistency prior pulls the solution toward the
+    prediction when the point evidence is ambiguous, and the packed [41]
+    prior flows through the registration entry point."""
+    from ct_icp_tpu.odometry.motion_model import (
+        PredictionConsistencyModel, PredictionConsistencyOptions)
+    rng = np.random.default_rng(33)
+    gt = _gt_frame()
+    raw, ts = render_scan(rng, 700, gt)
+
+    model = PredictionConsistencyModel(PredictionConsistencyOptions(
+        alpha_begin_tr_constraint=1.0, alpha_begin_rot_constraint=1.0))
+    model.set_prediction(gt.copy())
+    prior = model.device_prior(np.zeros(3))
+
+    opts = CTICPOptions(num_iters_icp=15, ls_max_num_iters=5,
+                        min_number_neighbors=10,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024)
+    init = TrajectoryFrame(Pose(timestamp=0.0), Pose(timestamp=1.0))
+    summary = reg.register(room, raw, ts, init, prior=prior)
+    assert summary.success
+    assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.03
+    assert model.is_valid(init)
+
+    # an inconsistent optimized frame fails the relative validity check
+    bad = gt.copy()
+    bad.end_pose.tr = bad.end_pose.tr + np.array([2.0, 0.0, 0.0])
+    assert not model.is_valid(bad)
