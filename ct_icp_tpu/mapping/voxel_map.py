@@ -79,6 +79,10 @@ class MapLevel(NamedTuple):
     points: jnp.ndarray    # f32  [C, P*3] xyz interleaved
     normals: jnp.ndarray   # f32  [C, 3]
     nflags: jnp.ndarray    # i32  [C]
+    win: jnp.ndarray       # u32  [C, 2R] probe window (keys ++ counts),
+    #                        maintained by every table/count mutation so
+    #                        lookups skip the 2R-roll rebuild (built once per
+    #                        insert instead of once per search call)
     num_points: jnp.ndarray  # i32 scalar
 
     @property
@@ -102,8 +106,15 @@ def make_level(capacity_log2: int, max_points: int) -> MapLevel:
         points=jnp.zeros((c, max_points * 3), dtype=jnp.float32),
         normals=jnp.zeros((c, 3), dtype=jnp.float32),
         nflags=jnp.zeros((c,), dtype=jnp.int32),
+        win=jnp.zeros((c, 2 * PROBE_WINDOW), dtype=jnp.uint32),
         num_points=jnp.zeros((), dtype=jnp.int32),
     )
+
+
+def build_window(keys, count):
+    """The [C, 2R] probe window (keys ++ counts) of a table state."""
+    return jnp.concatenate(
+        [_key_window(keys), _key_window(count.astype(jnp.uint32))], axis=1)
 
 
 def make_map(options: MultiResolutionVoxelMapOptions) -> MapState:
@@ -167,10 +178,7 @@ def find_slots_with_count(level: MapLevel, query_coords):
     coords = query_coords.reshape(-1, 3)
     h = vx.voxel_hash_u32(coords)
     k2 = voxel_key_u32(coords)
-    win = jnp.concatenate(
-        [_key_window(level.keys),
-         _key_window(level.count.astype(jnp.uint32))], axis=1)
-    rows = win[(h & jnp.uint32(c - 1)).astype(jnp.int32)]   # [M, 2R]
+    rows = level.win[(h & jnp.uint32(c - 1)).astype(jnp.int32)]   # [M, 2R]
     j, any_hit = _select_first_match(rows[:, :PROBE_WINDOW], k2)
     slot = ((h + j.astype(jnp.uint32)) & jnp.uint32(c - 1)).astype(jnp.int32)
     cnt = jnp.take_along_axis(
@@ -187,13 +195,14 @@ def find_slots(level: MapLevel, query_coords):
 
 # ---------------------------------------------------------------- insertion —
 
-def _resolve_or_claim_slots(keys_table, pt_keys, h, valid):
+def _resolve_or_claim_slots(keys_table, pt_keys, h, valid, keys_window=None):
     """Assign each point a slot for its voxel, creating voxels as needed.
 
     Phase 1: single-pass parallel probe for existing entries (so tombstones
-    never cause duplicates). Phase 2: synchronized claiming rounds — EMPTY or
-    TOMB slots are claimed via scatter-min arbitration; same-voxel losers
-    resolve to the winner's slot on re-read.
+    never cause duplicates), against ``keys_window`` when the caller already
+    maintains one (it must reflect ``keys_table``). Phase 2: synchronized
+    claiming rounds — EMPTY or TOMB slots are claimed via scatter-min
+    arbitration; same-voxel losers resolve to the winner's slot on re-read.
 
     Returns (updated keys_table, assigned_slot [N] (-1 unresolved), resolved).
     """
@@ -203,7 +212,9 @@ def _resolve_or_claim_slots(keys_table, pt_keys, h, valid):
     pid = jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(2147483647)
 
-    keys_probe = _key_window(keys_table)[
+    if keys_window is None:
+        keys_window = _key_window(keys_table)
+    keys_probe = keys_window[
         (h & mask_u).astype(jnp.int32)]                     # [N, R] row gather
     first, any_hit = _select_first_match(keys_probe, pt_keys)
     any_hit = any_hit & valid
@@ -324,7 +335,8 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
     pt_keys = voxel_key_u32(pt_coords)
 
     table, assigned, resolved = _resolve_or_claim_slots(
-        level.keys, pt_keys, h, valid)
+        level.keys, pt_keys, h, valid,
+        keys_window=level.win[:, :PROBE_WINDOW])
     slot = jnp.where(resolved, assigned, 0)
 
     # min-distance check against existing points of the voxel
@@ -389,6 +401,7 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
         points=new_points,
         normals=new_normals,
         nflags=new_nflags,
+        win=build_window(table, new_count),
         num_points=level.num_points + num_inserted,
     ), num_inserted
 
@@ -451,6 +464,7 @@ def prune_level(level: MapLevel, location, max_distance):
         points=level.points,
         normals=level.normals,
         nflags=new_nflags,
+        win=build_window(new_keys, new_count),
         num_points=level.num_points - removed,
     )
 
@@ -491,6 +505,7 @@ def rebuild_level(level: MapLevel, shift_xyz, resolution):
         points=out_points,
         normals=out_normals,
         nflags=out_nflags,
+        win=build_window(table, out_count),
         num_points=jnp.sum(out_count),
     )
 

@@ -33,6 +33,8 @@ def save_checkpoint(odometry: "Odometry", path) -> None:
     arrays = {}
     for i, lvl in enumerate(odometry.map_state.levels):
         for name in lvl._fields:
+            if name == "win":
+                continue  # derived from keys+count; rebuilt on load
             arrays[f"level{i}_{name}"] = np.asarray(getattr(lvl, name))
     traj = np.array([
         np.concatenate([
@@ -80,7 +82,8 @@ def load_checkpoint(odometry: "Odometry", path) -> None:
     levels = []
     for i in range(sidecar["num_levels"]):
         fields = {name: jnp.asarray(data[f"level{i}_{name}"])
-                  for name in vm.MapLevel._fields}
+                  for name in vm.MapLevel._fields if name != "win"}
+        fields["win"] = vm.build_window(fields["keys"], fields["count"])
         levels.append(vm.MapLevel(**fields))
     odometry.map_state = vm.MapState(levels=tuple(levels))
 

@@ -126,7 +126,7 @@ def make_distributed_register_fn(mesh: Mesh, statics: slv.SolverStatics,
             s3.quat_normalize(fqb), ftb, s3.quat_normalize(fqe), fte,
             f32(n_res), f32(converged)])
 
-    level_specs = tuple(vm.MapLevel(*(P(axis_name),) * 6) for _ in resolutions)
+    level_specs = tuple(vm.MapLevel(*(P(axis_name),) * 7) for _ in resolutions)
     fn = jax.jit(jax.shard_map(
         local_register, mesh=mesh,
         in_specs=(level_specs, P(), P(), P(), P(), P(), P(), P(), P(), P()),

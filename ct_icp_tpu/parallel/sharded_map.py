@@ -89,10 +89,10 @@ def make_sharded_update_fn(mesh: Mesh, options, max_dirty: int,
         total = jax.lax.psum(inserted, axis_name)
         return tuple(new_levels), total
 
-    in_specs = (tuple(vm.MapLevel(*(P(axis_name),) * 6)
+    in_specs = (tuple(vm.MapLevel(*(P(axis_name),) * 7)
                       for _ in resolutions),
                 P(), P(), P(), P(), P())
-    out_specs = (tuple(vm.MapLevel(*(P(axis_name),) * 6)
+    out_specs = (tuple(vm.MapLevel(*(P(axis_name),) * 7)
                        for _ in resolutions), P())
 
     fn = jax.jit(jax.shard_map(local_update, mesh=mesh, in_specs=in_specs,
@@ -135,7 +135,7 @@ def make_sharded_ball_query_fn(mesh: Mesh, options, level_index: int, nv: int,
         closest = closest / jnp.maximum(n_best[:, None], 1.0)
         return count, sum_rel, sum_outer, closest, best
 
-    in_specs = (tuple(vm.MapLevel(*(P(axis_name),) * 6)
+    in_specs = (tuple(vm.MapLevel(*(P(axis_name),) * 7)
                       for _ in options.resolutions), P(), P(), P())
     out_specs = (P(), P(), P(), P(), P())
     fn = jax.jit(jax.shard_map(local_query, mesh=mesh, in_specs=in_specs,
