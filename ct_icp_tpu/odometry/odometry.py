@@ -477,8 +477,14 @@ class Odometry:
             yield self._finish_streamed(info, row, None, None, origin)
 
     def _finish_streamed(self, info, packed, kp, world,
-                         origin) -> RegistrationSummary:
-        """Host bookkeeping for a streamed frame (runs one frame behind)."""
+                         origin, allow_rebase: bool = True
+                         ) -> RegistrationSummary:
+        """Host bookkeeping for a streamed frame (runs one frame behind).
+
+        ``allow_rebase=False`` defers the far-from-origin map rebase to the
+        caller — the 2-deep speculative robust streamer must not rebase the
+        fork head while a later batch is in flight (its checkpoint would
+        straddle the coordinate change)."""
         k = info.registered_fid
         r = np.asarray(packed, dtype=np.float64)
         frame = TrajectoryFrame(
@@ -520,7 +526,8 @@ class Odometry:
             tracker.skip_frame()
 
         pos = frame.end_pose.tr
-        if np.linalg.norm(pos - self.origin) > self.rebase_distance:
+        if (allow_rebase
+                and np.linalg.norm(pos - self.origin) > self.rebase_distance):
             shift = (pos - self.origin).astype(np.float64)
             self.map_state, self._odo_state = self._stream_rebase(
                 self.map_state, self._odo_state,
@@ -659,67 +666,152 @@ class Odometry:
         speculative = True
         self._odo_state = self._odo_state_from_host()
 
-        for group, scans_dev, ns_dev, dyns_dev, fss_dev in PrefetchIterator(
-                groups(), depth=2, transform=stack_upload):
-            if self.next_robust_level > 0 or not speculative:
-                # escalated: drain this group per-frame until a clean frame
-                # resets the level (reference next_robust_level semantics)
-                for prep in group:
-                    yield self.register_frame_prepared(prep)
-                speculative = self.next_robust_level <= 0
-                if speculative:
-                    self._odo_state = self._odo_state_from_host()
-                continue
+        import copy as _copy
 
-            # host snapshot; the device-side rollback checkpoint is taken
-            # INSIDE the megastep program (with_checkpoint) — a separate
-            # copy dispatch pays per-buffer tunnel round trips
-            import copy as _copy
+        def dispatch(upload):
+            """Dispatch one batch; device state handles advance to the fork
+            head immediately (results unread)."""
+            group, scans_dev, ns_dev, dyns_dev, fss_dev = upload
+            # device-side rollback checkpoint is taken INSIDE the megastep
+            # program (with_checkpoint) — a separate copy dispatch pays
+            # per-buffer tunnel round trips
+            self.map_state, self._odo_state, packed_all, ckpt = multi_step(
+                self.map_state, self._odo_state, scans_dev, ns_dev,
+                betas_dev, dyns_dev, fss_dev)
+            return {"upload": upload, "group": group,
+                    "packed": packed_all, "ckpt": ckpt}
+
+        def resolve(p):
+            """Read one in-flight batch's rows; commit or rollback+replay.
+
+            Generator; its return value is True iff the fork head remains
+            valid for a batch dispatched after ``p`` (committed cleanly,
+            still speculative, and no rebase shifted the map frame)."""
+            nonlocal speculative
+            group = p["group"]
+            # The host snapshot is taken HERE, not at dispatch: all batches
+            # before ``p`` have been resolved by now, so the current host
+            # state is exactly the host image of ``p``'s device fork point
+            # (a dispatch-time snapshot would predate the previous batch's
+            # commits and a rollback would erase them). The origin cannot
+            # have moved since dispatch — rebases only happen with no fork
+            # in flight.
             snap = (self.registered_frames, len(self.trajectory),
                     self.origin.copy(),
                     _copy.copy(self.insertion_tracker),
                     self.next_robust_level,
                     self.robust_num_consecutive_failures,
                     self.suspect_registration_error)
-            self.map_state, self._odo_state, packed_all, ckpt = multi_step(
-                self.map_state, self._odo_state, scans_dev, ns_dev,
-                betas_dev, dyns_dev, fss_dev)
-            rows = np.asarray(packed_all, dtype=np.float64)
+            p = dict(p, snap=snap)
+            rows = np.asarray(p["packed"], dtype=np.float64)   # sync point
             first_frame = group[0]["info"].registered_fid == 0
             steady = (rows[:, 22] > 0) & (rows[:, 23] > 0) & (rows[:, 17] > 0)
             if first_frame:
                 steady[0] = True  # frame 0 does not register
             if bool(steady.all()):
-                del ckpt
-                # one origin for the whole batch: the rows were all computed
-                # in the dispatch-time map frame, and _finish_streamed may
-                # rebase (shifting self.origin) between frames of this batch
-                origin0 = self.origin.copy()
+                # one origin for the whole batch: the rows were computed in
+                # the dispatch-time map frame; the rebase is deferred to the
+                # caller (allow_rebase=False) so an in-flight later batch
+                # can be re-based consistently
+                origin0 = p["snap"][2]
                 for prep, row in zip(group, rows):
                     info = prep["info"]
                     self.registered_frames = info.registered_fid + 1
                     summary = self._finish_streamed(
-                        info, row, None, None, origin0)
+                        info, row, None, None, origin0, allow_rebase=False)
                     summary.number_of_attempts = 1
                     summary.robust_level = minimal
                     self.robust_num_consecutive_failures = 0
                     self.suspect_registration_error = False
                     self.next_robust_level = minimal
                     yield summary
-            else:
-                # rollback: restore the batch-start state and replay the
-                # whole batch through the per-frame escalation path
-                (self.registered_frames, traj_len, self.origin,
-                 self.insertion_tracker, self.next_robust_level,
-                 self.robust_num_consecutive_failures,
-                 self.suspect_registration_error) = snap
-                del self.trajectory[traj_len:]
-                self.map_state, self._odo_state = ckpt
-                for prep in group:
+                pos = self.trajectory[-1].end_pose.tr
+                rebased = (np.linalg.norm(pos - self.origin)
+                           > self.rebase_distance)
+                return not rebased
+            # rollback: restore the batch-start state and replay the whole
+            # batch through the per-frame escalation path
+            (self.registered_frames, traj_len, self.origin,
+             self.insertion_tracker, self.next_robust_level,
+             self.robust_num_consecutive_failures,
+             self.suspect_registration_error) = p["snap"]
+            del self.trajectory[traj_len:]
+            self.map_state, self._odo_state = p["ckpt"]
+            for prep in group:
+                yield self.register_frame_prepared(prep)
+            speculative = self.next_robust_level <= 0
+            if speculative:
+                self._odo_state = self._odo_state_from_host()
+            return False
+
+        def rebase_head(state):
+            """Apply the deferred rebase to ``state`` = (map, odo)."""
+            pos = self.trajectory[-1].end_pose.tr
+            shift = (pos - self.origin).astype(np.float64)
+            new_state = self._stream_rebase(
+                state[0], state[1], jnp.asarray(shift, jnp.float32))
+            self.origin = self.origin + shift
+            return new_state
+
+        def strayed():
+            return bool(self.trajectory) and (
+                np.linalg.norm(self.trajectory[-1].end_pose.tr - self.origin)
+                > self.rebase_distance)
+
+        # 2-deep speculation: batch k+1 is dispatched BEFORE batch k's
+        # assessment rows are read, so k's readback (a full tunnel round
+        # trip) and its host bookkeeping overlap k+1's device compute. If k
+        # fails, k+1's fork is abandoned and its upload re-dispatched from
+        # the corrected state; if k commits but strays past the rebase
+        # distance, k+1 is resolved immediately (forfeiting one batch of
+        # overlap — rebases are per-500 m rare) so the head can be re-based
+        # with no fork in flight.
+        pending = None
+        for upload in PrefetchIterator(groups(), depth=2,
+                                       transform=stack_upload):
+            if self.next_robust_level > 0 or not speculative:
+                # escalated: drain this group per-frame until a clean frame
+                # resets the level (reference next_robust_level semantics).
+                # No batch is in flight here: pending goes non-None only
+                # when the loop stays speculative.
+                assert pending is None
+                for prep in upload[0]:
                     yield self.register_frame_prepared(prep)
                 speculative = self.next_robust_level <= 0
                 if speculative:
                     self._odo_state = self._odo_state_from_host()
+                continue
+            cur = dispatch(upload)
+            if pending is not None:
+                head_valid = yield from resolve(pending)
+                if not head_valid:
+                    if speculative and self.next_robust_level <= 0:
+                        # rolled back (state restored to pending's
+                        # checkpoint) or committed-but-strayed: cur's fork
+                        # is invalid either way — correct the head and
+                        # re-dispatch cur's upload from it (the re-dispatch
+                        # becomes the new fork head and stays pending)
+                        if strayed():
+                            self.map_state, self._odo_state = rebase_head(
+                                (self.map_state, self._odo_state))
+                        cur = dispatch(cur["upload"])
+                    else:
+                        # replay left the regimen escalated: drain cur's
+                        # group per-frame
+                        for prep in cur["group"]:
+                            yield self.register_frame_prepared(prep)
+                        speculative = self.next_robust_level <= 0
+                        if speculative:
+                            self._odo_state = self._odo_state_from_host()
+                        cur = None
+            pending = cur
+
+        if pending is not None:
+            head_valid = yield from resolve(pending)
+            if not head_valid and strayed() and speculative and \
+                    self.next_robust_level <= 0:
+                self.map_state, self._odo_state = rebase_head(
+                    (self.map_state, self._odo_state))
 
         for prep in tail:
             yield self.register_frame_prepared(prep)
