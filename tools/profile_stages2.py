@@ -116,6 +116,10 @@ def main():
     st = jax.tree_util.tree_map(lambda x: x + 0, odo.map_state)
     jax.block_until_ready(st)
     w16, v16 = world[:16384], sub_valid[:16384]
+    # warmup (compile) before timing — the first call costs ~20-40 s of XLA
+    st, _ = upd(st, w16, v16, tb, te, jnp.float32(o.max_distance),
+                jnp.asarray(True), prune=True)
+    jax.block_until_ready(st.levels[0].count)
     t0 = time.time()
     reps = 10
     for _ in range(reps):
