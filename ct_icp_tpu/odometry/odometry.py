@@ -684,9 +684,13 @@ class Odometry:
         def resolve(p):
             """Read one in-flight batch's rows; commit or rollback+replay.
 
-            Generator; its return value is True iff the fork head remains
-            valid for a batch dispatched after ``p`` (committed cleanly,
-            still speculative, and no rebase shifted the map frame)."""
+            Generator; its return value is one of
+              "ok"         — committed, fork head stays valid,
+              "rebase"     — committed, but the trajectory strayed past the
+                             rebase distance (the deferred rebase must be
+                             applied by the caller with no fork in flight),
+              "rolledback" — failed assessment: state restored to ``p``'s
+                             checkpoint and the batch replayed per-frame."""
             nonlocal speculative
             group = p["group"]
             # The host snapshot is taken HERE, not at dispatch: all batches
@@ -726,9 +730,9 @@ class Odometry:
                     self.next_robust_level = minimal
                     yield summary
                 pos = self.trajectory[-1].end_pose.tr
-                rebased = (np.linalg.norm(pos - self.origin)
-                           > self.rebase_distance)
-                return not rebased
+                if np.linalg.norm(pos - self.origin) > self.rebase_distance:
+                    return "rebase"
+                return "ok"
             # rollback: restore the batch-start state and replay the whole
             # batch through the per-frame escalation path
             (self.registered_frames, traj_len, self.origin,
@@ -742,30 +746,26 @@ class Odometry:
             speculative = self.next_robust_level <= 0
             if speculative:
                 self._odo_state = self._odo_state_from_host()
-            return False
+            return "rolledback"
 
-        def rebase_head(state):
-            """Apply the deferred rebase to ``state`` = (map, odo)."""
+        def rebase_head():
+            """Apply the deferred rebase to the current (map, odo) handles.
+            Must be called with NO fork in flight beyond those handles."""
             pos = self.trajectory[-1].end_pose.tr
             shift = (pos - self.origin).astype(np.float64)
-            new_state = self._stream_rebase(
-                state[0], state[1], jnp.asarray(shift, jnp.float32))
+            self.map_state, self._odo_state = self._stream_rebase(
+                self.map_state, self._odo_state,
+                jnp.asarray(shift, jnp.float32))
             self.origin = self.origin + shift
-            return new_state
-
-        def strayed():
-            return bool(self.trajectory) and (
-                np.linalg.norm(self.trajectory[-1].end_pose.tr - self.origin)
-                > self.rebase_distance)
 
         # 2-deep speculation: batch k+1 is dispatched BEFORE batch k's
         # assessment rows are read, so k's readback (a full tunnel round
         # trip) and its host bookkeeping overlap k+1's device compute. If k
-        # fails, k+1's fork is abandoned and its upload re-dispatched from
-        # the corrected state; if k commits but strays past the rebase
-        # distance, k+1 is resolved immediately (forfeiting one batch of
-        # overlap — rebases are per-500 m rare) so the head can be re-based
-        # with no fork in flight.
+        # fails or strays past the rebase distance, k+1's fork is abandoned:
+        # the head is corrected (k's rollback checkpoint, or k+1's own
+        # checkpoint — the post-k state — for the rebase case, never k+1's
+        # output, which holds k+1's speculative inserts) and k+1's upload
+        # re-dispatches from it.
         pending = None
         for upload in PrefetchIterator(groups(), depth=2,
                                        transform=stack_upload):
@@ -783,17 +783,16 @@ class Odometry:
                 continue
             cur = dispatch(upload)
             if pending is not None:
-                head_valid = yield from resolve(pending)
-                if not head_valid:
+                status = yield from resolve(pending)
+                if status == "rebase":
+                    # pending committed; discard cur's fork by restoring its
+                    # checkpoint (= the post-pending state), rebase, redo
+                    self.map_state, self._odo_state = cur["ckpt"]
+                    rebase_head()
+                    cur = dispatch(cur["upload"])
+                elif status == "rolledback":
                     if speculative and self.next_robust_level <= 0:
-                        # rolled back (state restored to pending's
-                        # checkpoint) or committed-but-strayed: cur's fork
-                        # is invalid either way — correct the head and
-                        # re-dispatch cur's upload from it (the re-dispatch
-                        # becomes the new fork head and stays pending)
-                        if strayed():
-                            self.map_state, self._odo_state = rebase_head(
-                                (self.map_state, self._odo_state))
+                        # state restored + replayed clean: re-dispatch cur
                         cur = dispatch(cur["upload"])
                     else:
                         # replay left the regimen escalated: drain cur's
@@ -807,11 +806,11 @@ class Odometry:
             pending = cur
 
         if pending is not None:
-            head_valid = yield from resolve(pending)
-            if not head_valid and strayed() and speculative and \
-                    self.next_robust_level <= 0:
-                self.map_state, self._odo_state = rebase_head(
-                    (self.map_state, self._odo_state))
+            status = yield from resolve(pending)
+            if status == "rebase":
+                # nothing in flight: the current handles are pending's
+                # committed outputs — rebase them directly
+                rebase_head()
 
         for prep in tail:
             yield self.register_frame_prepared(prep)

@@ -196,3 +196,83 @@ class TestYamlConfig:
         assert n.ct_icp_options.num_iters_icp == 30
         assert n.ct_icp_options.max_num_residuals == 600
         assert n.initialization == O.Initialization.INIT_NONE
+
+
+class TestGeometryUtils:
+    """slam::geometry parity (reference geometry.h / geometry.cxx)."""
+
+    def test_orthogonal_procrustes_recovers_rigid_transform(self):
+        from ct_icp_tpu.core.geometry import orthogonal_procrustes
+        rng = np.random.default_rng(3)
+        ref = rng.normal(size=(50, 3))
+        q_gt = s3n.quat_from_rotvec(np.array([0.2, -0.1, 0.4]))
+        t_gt = np.array([1.0, -2.0, 0.5])
+        tgt = s3n.quat_rotate(q_gt, ref) + t_gt
+        quat, tr = orthogonal_procrustes(ref, tgt)
+        np.testing.assert_allclose(tr, t_gt, atol=1e-10)
+        assert s3n.angular_distance_deg(quat, q_gt) < 1e-6
+        # reflection fix: degenerate planar set still yields det(R)=+1
+        ref2 = ref.copy()
+        ref2[:, 2] = 0.0
+        tgt2 = s3n.quat_rotate(q_gt, ref2) + t_gt
+        quat2, _ = orthogonal_procrustes(ref2, tgt2)
+        r2 = s3n.quat_to_matrix(quat2)
+        assert np.linalg.det(r2) > 0.0
+
+    def test_geometric_median_robust_to_outlier(self):
+        from ct_icp_tpu.core.geometry import geometric_median
+        pts = np.zeros((11, 3))
+        pts[:10] = np.random.default_rng(4).normal(scale=0.01, size=(10, 3))
+        pts[10] = [100.0, 0.0, 0.0]  # gross outlier drags the mean, not the median
+        mean, median = geometric_median(pts)
+        assert np.linalg.norm(mean) > 5.0
+        assert np.linalg.norm(median) < 0.1
+
+
+class TestTrajectoryMetrics:
+    """slam::ComputeTrajectoryMetrics parity (reference eval.cxx:184-292)."""
+
+    def _straight_gt(self, n=60, step=0.5):
+        poses = []
+        for i in range(n):
+            poses.append(Pose(tr=np.array([i * step, 0.0, 0.0]),
+                              timestamp=float(i)))
+        return poses
+
+    def test_perfect_trajectory(self):
+        from ct_icp_tpu.evaluation.trajectory_metrics import (
+            compute_trajectory_metrics)
+        gt = self._straight_gt()
+        m = compute_trajectory_metrics(gt, [p.copy() for p in gt],
+                                       segment_length=10.0)
+        assert m.mean_ate < 1e-9
+        assert m.max_ate < 1e-9
+        assert m.total_distance == pytest.approx(59 * 0.5)
+        assert len(m.trajectory_segments) >= 2
+        assert m.segment_mean_ate < 1e-9
+
+    def test_rigidly_displaced_trajectory_has_zero_ate(self):
+        # a global rigid offset is removed by the Procrustes alignment
+        from ct_icp_tpu.evaluation.trajectory_metrics import (
+            compute_trajectory_metrics)
+        gt = self._straight_gt()
+        q = s3n.quat_from_rotvec(np.array([0.0, 0.0, 0.3]))
+        est = []
+        for p in gt:
+            est.append(Pose(q.copy(), s3n.quat_rotate(q, p.tr)
+                            + np.array([5.0, -3.0, 1.0]),
+                            timestamp=p.timestamp))
+        m = compute_trajectory_metrics(gt, est, segment_length=10.0)
+        assert m.mean_ate < 1e-9
+
+    def test_local_error_shows_in_segments(self):
+        from ct_icp_tpu.evaluation.trajectory_metrics import (
+            compute_trajectory_metrics, generate_trajectory_metrics_yaml)
+        gt = self._straight_gt()
+        est = [p.copy() for p in gt]
+        est[30].tr = est[30].tr + np.array([0.0, 0.8, 0.0])  # a local kink
+        m = compute_trajectory_metrics(gt, est, segment_length=10.0)
+        assert m.max_ate_idx == 30
+        assert m.segment_mean_ate > 0.01
+        y = generate_trajectory_metrics_yaml(m)
+        assert "SEGMENT_MEAN_ATE" in y and "TOTAL_DISTANCE" in y

@@ -164,7 +164,10 @@ def test_robust_streaming_rollback_replay():
     its on-device assessment; the streamer must roll the map back and
     replay per-frame — ending in EXACTLY the per-frame path's state."""
     acq = make_acquisition(seed=11)
-    n = 6
+    # 12 frames / batch 4 = two in-flight groups ahead of the first resolve:
+    # the rollback must also drain the already-dispatched SECOND batch
+    # through the per-frame path (2-deep speculation)
+    n = 12
     frames = [acq.frame(i) for i in range(n)]
     opts = small_options(robust_registration=True, robust_num_attempts=2,
                          distance_error_threshold=1e-4)
