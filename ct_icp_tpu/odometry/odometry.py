@@ -846,6 +846,18 @@ class Odometry:
         n = np.concatenate(out_n)
         return np.concatenate([p, n], axis=1)
 
+    def get_visible_map_points(self, view_point: np.ndarray,
+                               level: int = 0) -> np.ndarray:
+        """Map points visible from ``view_point``: oriented normal facing
+        the viewer, i.e. normal . (point - view) < 0
+        (reference GetVisibleMapPoints, map.h:378-407; unoriented normals
+        are skipped there too — here they are zero vectors, which fail the
+        strict inequality the same way)."""
+        pn = self.get_map_points(level)
+        scal = np.sum(pn[:, 3:6] * (pn[:, 0:3] - np.asarray(view_point)),
+                      axis=1)
+        return pn[scal < 0.0]
+
     def reset(self, options: Optional[OdometryOptions] = None):
         """Reference Odometry::Reset (odometry.cpp:956-975)."""
         if options is not None:

@@ -254,3 +254,28 @@ def test_streaming_matches_register_frame():
     for a, b in zip(ta, tb):
         assert a.end_pose.location_distance(b.end_pose) < 0.02
         assert a.end_pose.angular_distance(b.end_pose) < 0.5
+
+
+def test_map_points_export_and_visibility():
+    """GetMapPoints / GetVisibleMapPoints parity (reference map.h:354-407):
+    exported points carry oriented normals, and the visible subset keeps
+    only normals facing the view point."""
+    acq = make_acquisition(seed=7)
+    opts = small_options()
+    odo = Odometry(opts)
+    for i in range(4):
+        fr = acq.frame(i)
+        odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+    # level 1 (0.5 m): dense enough that >=5-point voxels carry normals
+    # (level 0's 0.2 m voxels rarely reach 5 points in 4 frames)
+    pn = odo.get_map_points(1)
+    assert pn.shape[1] == 6 and pn.shape[0] > 100
+    view = odo.get_trajectory()[-1].end_pose.tr
+    vis = odo.get_visible_map_points(view, 1)
+    assert 0 < vis.shape[0] <= pn.shape[0]
+    # every visible point's normal faces the viewer
+    scal = np.sum(vis[:, 3:6] * (vis[:, 0:3] - view), axis=1)
+    assert np.all(scal < 0.0)
+    # unoriented (zero-normal) points are never "visible"
+    oriented = pn[np.linalg.norm(pn[:, 3:6], axis=1) > 0.5]
+    assert vis.shape[0] <= oriented.shape[0] < pn.shape[0]
