@@ -101,13 +101,67 @@ def _frame_gn_update(qb, tb, qe, te, raw, alphas, anchors, normals, weights,
     return nqb, ntb, nqe, nte, cost
 
 
+def _edge_residuals(d_self, d_next, qe, te, qb_n, tb_n, w, beta):
+    """Continuity rows of ONE trajectory edge end(f) ~ begin(f+1), as a
+    function of BOTH frames' perturbations (the coupled-solver form;
+    the block-Jacobi path evaluates neighbors as constants instead)."""
+    _, _, qe2, te2 = res.apply_delta(d_self, qe, te, qe, te)
+    qb2, tb2, _, _ = res.apply_delta(d_next, qb_n, tb_n, qb_n, tb_n)
+    r_pos = beta * w * (te2 - tb2)
+    dq = jnp.sum(s3.quat_normalize(qe2) * s3.quat_normalize(qb2), axis=-1)
+    r_rot = (beta * w * (1.0 - dq * dq))[None]
+    return jnp.concatenate([r_pos, r_rot])
+
+
+def _frame_blocks(qb, tb, qe, te, raw, alphas, anchors, normals, weights,
+                  qb_n, tb_n, w_edge, beta):
+    """Per-frame GN blocks for the coupled (block-tridiagonal) system.
+
+    Returns (hp [12,12] point-term Hessian, gp [12] point-term gradient,
+    ce [4] edge residual, a [4,12] edge Jacobian wrt this frame,
+    b [4,12] edge Jacobian wrt the next frame, cost scalar)."""
+    zero = jnp.zeros((12,), raw.dtype)
+
+    def rfun(d):
+        return _frame_residuals(d, qb, tb, qe, te, raw, alphas, anchors,
+                                normals, weights)
+
+    def efun(d_self, d_next):
+        return _edge_residuals(d_self, d_next, qe, te, qb_n, tb_n, w_edge,
+                               beta)
+
+    rp = rfun(zero)
+    jp = jax.jacfwd(rfun)(zero)                     # [K, 12]
+    ce = efun(zero, zero)                           # [4]
+    a = jax.jacfwd(efun, argnums=0)(zero, zero)     # [4, 12]
+    b = jax.jacfwd(efun, argnums=1)(zero, zero)     # [4, 12]
+    hp = jp.T @ jp
+    gp = jp.T @ rp
+    cost = jnp.sum(rp * rp) + jnp.sum(ce * ce)
+    return hp, gp, ce, a, b, cost
+
+
 def make_ct_ba_step(mesh: Mesh, axis_name: str = "frames",
                     num_inner_iters: int = 2, beta: float = 1.0,
-                    damping: float = 1e-3):
+                    damping: float = 1e-3, solver: str = "jacobi",
+                    num_cg_iters: int = 16):
     """Build the SPMD CT-BA step over ``mesh``.
 
     Returns step(state, problem) -> (state, total_cost); both state and
     problem are sharded over the keyframe axis.
+
+    ``solver``:
+      * "jacobi" — damped block-Jacobi GN: each keyframe solves its own
+        12x12 system with neighbor poses held fixed (halo-exchanged).
+        Cheapest per iteration; coupling information moves one keyframe
+        per iteration.
+      * "pcg" — the TRUE coupled GN step: the block-tridiagonal normal
+        equations over all keyframes are solved by preconditioned
+        conjugate gradients. The matvec is pure SPMD — local block
+        products plus one ppermute halo in each direction — and the CG
+        dot products are psums, so per CG iteration the communication is
+        O(12) floats per shard boundary regardless of window size.
+        Block-diagonal (12x12) preconditioning.
     """
 
     nshards = mesh.shape[axis_name]
@@ -157,12 +211,105 @@ def make_ct_ba_step(mesh: Mesh, axis_name: str = "frames",
             (qb, tb, qe, te, jnp.asarray(0.0, qb.dtype)))
         return CTBAState(qb, tb, qe, te), cost
 
+    def local_step_pcg(state: CTBAState, problem: CTBAProblem):
+        qb, tb, qe, te = state
+        f = qb.shape[0]
+        shard_id = jax.lax.axis_index(axis_name)
+        is_last = shard_id == nshards - 1
+        idx = jnp.arange(f)
+        # one edge per keyframe toward its successor; no edge after the
+        # global last keyframe
+        w_edge = jnp.where((idx == f - 1) & is_last, 0.0, 1.0)
+
+        def shift_fwd(x):
+            """x_f -> value that frame f+1 sees from frame f (row-wise);
+            cross-shard boundary via ppermute (the wrap into global frame 0
+            always carries a zero — the global-last edge has weight 0)."""
+            from_prev = jax.lax.ppermute(x[-1], axis_name, fwd)
+            return jnp.concatenate([from_prev[None], x[:-1]], axis=0)
+
+        def shift_bwd(x):
+            """x_f -> x_{f+1} aligned at frame f."""
+            from_next = jax.lax.ppermute(x[0], axis_name, bwd)
+            return jnp.concatenate([x[1:], from_next[None]], axis=0)
+
+        def one_outer(_, carry):
+            qb, tb, qe, te, _ = carry
+            qb_n = shift_bwd(qb)
+            tb_n = shift_bwd(tb)
+
+            hp, gp, ce, a, b_, costs = jax.vmap(
+                functools.partial(_frame_blocks, beta=beta))(
+                qb, tb, qe, te, problem.raw, problem.alphas, problem.anchors,
+                problem.normals, problem.weights, qb_n, tb_n, w_edge)
+            total = jax.lax.psum(jnp.sum(costs), axis_name)
+
+            # block-tridiagonal assembly:
+            #   H_ff = hp + a^T a + (b^T b of the INCOMING edge f-1)
+            #   U_f  = a_f^T b_f   (couples f with f+1)
+            #   g_f  = gp + a^T ce + (b^T ce of the incoming edge)
+            ata = jnp.einsum("fri,frj->fij", a, a)
+            btb = jnp.einsum("fri,frj->fij", b_, b_)
+            u = jnp.einsum("fri,frj->fij", a, b_)
+            g = gp + jnp.einsum("fri,fr->fi", a, ce)
+            g = g + shift_fwd(jnp.einsum("fri,fr->fi", b_, ce))
+            h = hp + ata + shift_fwd(btb)
+            diag = jnp.diagonal(h, axis1=-2, axis2=-1)
+            lm = damping * jnp.maximum(diag, 1e-8) + 1e-8
+            h = h + jax.vmap(jnp.diag)(lm)
+
+            # block-diagonal preconditioner
+            hinv = jnp.linalg.inv(h)
+
+            def minv(v):
+                return jnp.einsum("fij,fj->fi", hinv, v)
+
+            def matvec(x):
+                y = jnp.einsum("fij,fj->fi", h, x)
+                y = y + jnp.einsum("fij,fj->fi", u, shift_bwd(x))
+                y = y + shift_fwd(jnp.einsum("fji,fj->fi", u, x))
+                return y
+
+            def pdot(p, q):
+                return jax.lax.psum(jnp.sum(p * q), axis_name)
+
+            # PCG on H x = -g
+            x0 = jnp.zeros_like(g)
+            r0 = -g
+            z0 = minv(r0)
+            rs0 = pdot(r0, z0)
+
+            def cg_body(_, c):
+                x, r, z, p, rs = c
+                hp_v = matvec(p)
+                alpha = rs / jnp.maximum(pdot(p, hp_v), 1e-20)
+                x = x + alpha * p
+                r = r - alpha * hp_v
+                z = minv(r)
+                rs_new = pdot(r, z)
+                p = z + (rs_new / jnp.maximum(rs, 1e-20)) * p
+                return x, r, z, p, rs_new
+
+            x, _, _, _, _ = jax.lax.fori_loop(
+                0, num_cg_iters, cg_body, (x0, r0, z0, z0, rs0))
+
+            nqb, ntb, nqe, nte = jax.vmap(res.apply_delta)(x, qb, tb, qe, te)
+            return nqb, ntb, nqe, nte, total
+
+        qb, tb, qe, te, cost = jax.lax.fori_loop(
+            0, num_inner_iters, one_outer,
+            (qb, tb, qe, te, jnp.asarray(0.0, qb.dtype)))
+        return CTBAState(qb, tb, qe, te), cost
+
     spec_state = CTBAState(P(axis_name), P(axis_name), P(axis_name),
                            P(axis_name))
     spec_problem = CTBAProblem(P(axis_name), P(axis_name), P(axis_name),
                                P(axis_name), P(axis_name))
+    if solver not in ("jacobi", "pcg"):
+        raise ValueError(f"unknown CT-BA solver {solver!r}")
+    body = local_step if solver == "jacobi" else local_step_pcg
     step = jax.jit(jax.shard_map(
-        local_step, mesh=mesh,
+        body, mesh=mesh,
         in_specs=(spec_state, spec_problem),
         out_specs=(spec_state, P())))
     return step

@@ -84,3 +84,77 @@ def test_backend_refinement_improves_or_preserves():
         rel_est = first_est.inverse() * est.end_pose
         errs.append(rel_gt.location_distance(rel_est))
     assert max(errs) < 0.12, errs
+
+
+def test_ct_ba_pcg_matches_dense_coupled_solve(mesh):
+    """One PCG outer iteration must equal the dense GN step on the full
+    stacked system (same residual model, all keyframes coupled)."""
+    import functools
+    rng = np.random.default_rng(9)
+    num_frames, num_points = 8, 48
+    state, problem, _ = ct_ba.build_synthetic_problem(
+        rng, num_frames, num_points, noise=0.02)
+    damping = 1e-3
+    step = ct_ba.make_ct_ba_step(mesh, num_inner_iters=1, solver="pcg",
+                                 num_cg_iters=96, damping=damping)
+    s8, p8 = ct_ba.shard_problem(mesh, state, problem)
+    out, _ = step(s8, p8)
+
+    # dense single-device reference: jacfwd over the full [F*12] delta
+    qb, tb, qe, te = (np.asarray(x, np.float32) for x in state)
+    raw = np.asarray(problem.raw, np.float32)
+    alphas = np.asarray(problem.alphas, np.float32)
+    anchors = np.asarray(problem.anchors, np.float32)
+    normals = np.asarray(problem.normals, np.float32)
+    weights = np.asarray(problem.weights, np.float32)
+
+    def full_residuals(deltas):  # [F, 12]
+        rows = []
+        for f in range(num_frames):
+            rows.append(ct_ba._frame_residuals(
+                deltas[f], qb[f], tb[f], qe[f], te[f], raw[f], alphas[f],
+                anchors[f], normals[f], weights[f]))
+            w = 0.0 if f == num_frames - 1 else 1.0
+            nf = (f + 1) % num_frames
+            rows.append(ct_ba._edge_residuals(
+                deltas[f], deltas[nf], qe[f], te[f], qb[nf], tb[nf],
+                w, 1.0))
+        return jnp.concatenate(rows)
+
+    zero = jnp.zeros((num_frames, 12), jnp.float32)
+    r0 = full_residuals(zero)
+    jac = jax.jacfwd(full_residuals)(zero).reshape(r0.shape[0], -1)
+    h = np.asarray(jac.T @ jac, np.float64)
+    g = np.asarray(jac.T @ r0, np.float64)
+    lm = damping * np.maximum(np.diagonal(h), 1e-8) + 1e-8
+    h = h + np.diag(lm)
+    delta = np.linalg.solve(h, -g).reshape(num_frames, 12)
+
+    from ct_icp_tpu.icp import residuals as res
+    exp = jax.vmap(res.apply_delta)(
+        jnp.asarray(delta, jnp.float32), jnp.asarray(qb), jnp.asarray(tb),
+        jnp.asarray(qe), jnp.asarray(te))
+    np.testing.assert_allclose(np.asarray(out.tr_end),
+                               np.asarray(exp[3]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.tr_begin),
+                               np.asarray(exp[1]), atol=2e-4)
+
+
+def test_ct_ba_pcg_converges_no_worse_than_jacobi(mesh):
+    rng = np.random.default_rng(17)
+    state, problem, (gt_q, gt_tr) = ct_ba.build_synthetic_problem(
+        rng, 16, 128, noise=0.03)
+    s, p = ct_ba.shard_problem(mesh, state, problem)
+
+    def pose_err(st):
+        return float(np.linalg.norm(
+            np.asarray(st.tr_end) - np.asarray(gt_tr)[1:], axis=-1).max())
+
+    step_j = ct_ba.make_ct_ba_step(mesh, num_inner_iters=2, solver="jacobi")
+    step_p = ct_ba.make_ct_ba_step(mesh, num_inner_iters=2, solver="pcg",
+                                   num_cg_iters=24)
+    sj, _ = step_j(s, p)
+    sp, _ = step_p(s, p)
+    assert pose_err(sp) <= pose_err(sj) * 1.2 + 1e-6
+    # and the coupled solve actually lands near GT after two outer iters
+    assert pose_err(sp) < 0.01, pose_err(sp)
