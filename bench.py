@@ -105,7 +105,8 @@ def main():
     # program) with one stacked upload and one packed readback, so the
     # per-dispatch tax and readback round trip (~1 ms each over the tunnel)
     # amortize across the batch (odometry.stream_frames(batch=...))
-    BATCH = 16
+    import os
+    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
     # warmup must be a whole number of megasteps: summaries arrive in
     # bursts of BATCH, so a mid-burst t_start would credit frames whose
     # compute happened before the clock started
