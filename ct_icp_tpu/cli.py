@@ -9,10 +9,18 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
 def main(argv=None):
+    if os.environ.get("CT_FORCE_CPU"):
+        # Some environments register a remote-accelerator PJRT plugin from
+        # sitecustomize and force jax_platforms there, clobbering a
+        # shell-level JAX_PLATFORMS=cpu. This knob overrides the config
+        # directly (must run before any backend initialization).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     parser = argparse.ArgumentParser(
         prog="run_odometry",
         description="TPU-native CT-ICP LiDAR odometry runner")

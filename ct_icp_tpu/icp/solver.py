@@ -303,7 +303,9 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
 
 def _residual_vector(statics, dyn, delta, raw, alphas, anchors, normals, lines,
                      cov_inv, geom_w, ok, cls, qb, tb, qe, te, prior, n_res):
-    """Full residual vector [(K*R + 10)] of a 12-DoF perturbation."""
+    """Full residual vector [(K*R + P)] of a 12-DoF perturbation, where
+    P = 10 motion-prior rows, +12 prediction-consistency rows when the
+    prior carries a prediction block (packed [41])."""
     qb2, tb2, qe2, te2 = res.apply_delta(delta, qb, tb, qe, te)
     world = res.interp_world_points(qb2, tb2, qe2, te2, raw, alphas)
     if statics.solver == Solver.ROBUST:

@@ -23,8 +23,8 @@ from ct_icp_tpu.icp.registration import make_prior
 class PreviousFrameMotionModel:
     """Reference PreviousFrameMotionModel (motion_model.cpp:12-115)."""
 
-    def __init__(self, options: MotionModelOptions = MotionModelOptions()):
-        self.options = options
+    def __init__(self, options: Optional[MotionModelOptions] = None):
+        self.options = options or MotionModelOptions()
         self.previous_frame = TrajectoryFrame()
 
     def reset(self):
@@ -100,8 +100,9 @@ class PredictionConsistencyModel:
     live on device in residuals.prediction_consistency_residuals; this class
     packs them via :meth:`device_prior` and implements validity/prediction."""
 
-    def __init__(self, options: PredictionConsistencyOptions = PredictionConsistencyOptions()):
-        self.options = options
+    def __init__(self,
+                 options: Optional[PredictionConsistencyOptions] = None):
+        self.options = options or PredictionConsistencyOptions()
         self.prediction = TrajectoryFrame()
 
     def set_prediction(self, frame: TrajectoryFrame):
@@ -174,6 +175,10 @@ class PredictionConsistencyModel:
             out[37] = o.alpha_end_tr_constraint / o.beta_scale_tr_m
         if o.model & CONSTRAINT_ON_END and o.beta_scale_rot_deg > 0:
             out[38] = o.alpha_end_rot_constraint / o.beta_scale_rot_deg
+        # NOTE: the reference gates BOTH relative rows on BOTH beta scales
+        # being positive (one 4-row functor, motion_model.cpp:259-280),
+        # unlike the per-row gating of the begin/end constraints — kept
+        # for parity even though it looks inconsistent.
         if (o.model & RELATIVE_TRANSFORM_CONSTRAINT
                 and o.beta_scale_rot_deg > 0 and o.beta_scale_tr_m > 0):
             out[39] = o.alpha_relative_rot_constraint / o.beta_scale_rot_deg

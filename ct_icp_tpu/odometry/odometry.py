@@ -706,7 +706,6 @@ class Odometry:
                     self.next_robust_level,
                     self.robust_num_consecutive_failures,
                     self.suspect_registration_error)
-            p = dict(p, snap=snap)
             rows = np.asarray(p["packed"], dtype=np.float64)   # sync point
             first_frame = group[0]["info"].registered_fid == 0
             steady = (rows[:, 22] > 0) & (rows[:, 23] > 0) & (rows[:, 17] > 0)
@@ -717,7 +716,7 @@ class Odometry:
                 # the dispatch-time map frame; the rebase is deferred to the
                 # caller (allow_rebase=False) so an in-flight later batch
                 # can be re-based consistently
-                origin0 = p["snap"][2]
+                origin0 = snap[2]
                 for prep, row in zip(group, rows):
                     info = prep["info"]
                     self.registered_frames = info.registered_fid + 1
@@ -729,8 +728,14 @@ class Odometry:
                     self.suspect_registration_error = False
                     self.next_robust_level = minimal
                     yield summary
-                pos = self.trajectory[-1].end_pose.tr
-                if np.linalg.norm(pos - self.origin) > self.rebase_distance:
+                # ANY frame of the batch past the rebase distance triggers
+                # the deferred rebase (the pre-speculation per-frame path
+                # rebased mid-batch; checking only the last frame would let
+                # a boundary-hugging trajectory erode the f32 headroom)
+                batch_tr = np.stack(
+                    [f.end_pose.tr for f in self.trajectory[-len(group):]])
+                if np.any(np.linalg.norm(batch_tr - self.origin, axis=1)
+                          > self.rebase_distance):
                     return "rebase"
                 return "ok"
             # rollback: restore the batch-start state and replay the whole
@@ -738,7 +743,7 @@ class Odometry:
             (self.registered_frames, traj_len, self.origin,
              self.insertion_tracker, self.next_robust_level,
              self.robust_num_consecutive_failures,
-             self.suspect_registration_error) = p["snap"]
+             self.suspect_registration_error) = snap
             del self.trajectory[traj_len:]
             self.map_state, self._odo_state = p["ckpt"]
             for prep in group:

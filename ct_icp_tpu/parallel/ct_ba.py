@@ -97,7 +97,11 @@ def _frame_gn_update(qb, tb, qe, te, raw, alphas, anchors, normals, weights,
     a = jtj / (d[:, None] * d[None, :]) + damping * jnp.eye(12, dtype=raw.dtype)
     delta = jnp.linalg.solve(a, -jtr / d) / d
     nqb, ntb, nqe, nte = res.apply_delta(delta, qb, tb, qe, te)
-    cost = jnp.sum(r0 * r0)
+    # every interior edge's rows appear in BOTH adjacent frames' rc (as
+    # prev for one, next for the other); halve them so the reported cost
+    # counts each edge once and is comparable with the PCG solver's
+    k = raw.shape[0]
+    cost = jnp.sum(r0[:k] * r0[:k]) + 0.5 * jnp.sum(r0[k:] * r0[k:])
     return nqb, ntb, nqe, nte, cost
 
 

@@ -9,23 +9,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tools._timing import chained, force_sync_mode
+
 from ct_icp_tpu.mapping import voxel_map as vm
 from ct_icp_tpu.ops import voxel as vx
-
-
-def force_sync_mode():
-    x = jax.jit(lambda v: v + 1.0)(jnp.ones(8))
-    _ = np.asarray(x)
-
-
-def chained(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / n * 1000
 
 
 def main():
@@ -65,8 +52,7 @@ def main():
     print(f"find_slots_with_count [M,27]:  {t:7.2f} ms", flush=True)
 
     # (c) window build alone
-    wb = jax.jit(lambda k, c: jnp.concatenate(
-        [vm._key_window(k), vm._key_window(c.astype(jnp.uint32))], axis=1))
+    wb = jax.jit(vm.build_window)
     t = chained(wb, level.keys, level.count)
     print(f"window build [C,16]:           {t:7.2f} ms", flush=True)
 

@@ -10,22 +10,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tools._timing import chained, force_sync_mode
+
 from ct_icp_tpu.mapping import voxel_map as vm
 from ct_icp_tpu.ops.neighborhood import description_from_moments
-
-
-def force_sync_mode():
-    _ = np.asarray(jax.jit(lambda v: v + 1.0)(jnp.ones(8)))
-
-
-def chained(fn, *args, n=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / n * 1000
 
 
 def main():

@@ -9,23 +9,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tools._timing import chained, force_sync_mode
+
 from ct_icp_tpu.ops import sampling as smp
 from ct_icp_tpu.ops import voxel as vx
-
-
-def force_sync_mode():
-    x = jax.jit(lambda v: v + 1.0)(jnp.ones(8))
-    _ = np.asarray(x)
-
-
-def chained(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / n * 1000
 
 
 def main():
