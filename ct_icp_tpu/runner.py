@@ -39,6 +39,7 @@ class SequenceResult:
     success: bool = True
     avg_runtime_ms: float = 0.0
     metrics: Optional[ev.SeqErrors] = None
+    trajectory_metrics: Optional[object] = None  # TrajectoryMetrics
 
 
 def mid_frame_poses(trajectory: List[TrajectoryFrame]) -> List[Pose]:
@@ -182,6 +183,20 @@ class OdometryRunner:
                     result.metrics.average_elapsed_ms = result.avg_runtime_ms
                 except Exception as e:  # metrics must never kill the run
                     print(f"[{name}] metrics failed: {e}", file=sys.stderr)
+            if len(gt_slice) > 5:
+                # segment-ATE trajectory metrics alongside the KITTI RPE
+                # (reference ComputeTrajectoryMetrics, eval.cxx:184-292)
+                try:
+                    from ct_icp_tpu.evaluation.trajectory_metrics import (
+                        compute_trajectory_metrics)
+                    est = [est_traj.interpolate_pose(p.timestamp, clip=True)
+                           for p in gt_slice]
+                    seg_len = 100.0 if driving else 10.0
+                    result.trajectory_metrics = compute_trajectory_metrics(
+                        gt_slice, est, segment_length=seg_len)
+                except Exception as e:
+                    print(f"[{name}] trajectory metrics failed: {e}",
+                          file=sys.stderr)
         if self.output_dir is None:
             return
         seq_dir = self.output_dir / name
@@ -197,6 +212,13 @@ class OdometryRunner:
         if not metrics:
             return
         text = ev.generate_metrics_yaml(metrics)
+        for name, r in self.results.items():
+            if r.trajectory_metrics is not None:
+                from ct_icp_tpu.evaluation.trajectory_metrics import (
+                    generate_trajectory_metrics_yaml)
+                body = generate_trajectory_metrics_yaml(r.trajectory_metrics)
+                text += f'"{name}_trajectory":\n' + "".join(
+                    f"  {line}\n" for line in body.strip().splitlines())
         with open(self.output_dir / "metrics.yaml", "w") as f:
             f.write(text)
         print(f"Saved metrics to {self.output_dir / 'metrics.yaml'}")

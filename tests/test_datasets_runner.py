@@ -161,3 +161,10 @@ def test_runner_end_to_end_synthetic(tmp_path):
     assert (out / "trajectory.ply").exists()
     assert result.metrics is not None
     assert result.metrics.mean_ape < 0.3
+    # segment-ATE trajectory metrics ride along (indoor 10 m segments)
+    assert result.trajectory_metrics is not None
+    assert result.trajectory_metrics.mean_ate < 0.3
+    runner.results[result.name] = result  # run() does this internally
+    runner._write_metrics_yaml()
+    text = (tmp_path / "out" / "metrics.yaml").read_text()
+    assert "SEGMENT_MEAN_ATE" in text and "MEAN_RPE" in text
