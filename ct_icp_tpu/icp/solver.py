@@ -78,8 +78,16 @@ class SolverStatics:
     ball_neighborhood: bool = True
     # compact the (2nv+1)^3 candidate voxels to the nearest-occupied subset
     # of this size at gather time (0 = keep all; see
-    # vm.gather_candidate_planes). Driving stats: ~9 occupied of 27, p99=18.
+    # vm.gather_candidate_voxels). Driving stats: ~9 occupied of 27, p99=18.
     max_candidate_voxels: int = 0
+    # > 0: UNROLL the outer ICP loop to exactly this many iterations
+    # (python-level, masked by convergence) instead of the lax.while_loop.
+    # Gathers happen at statically known iterations, so the unrolled body
+    # is vmap-friendly (a vmapped lax.cond executes BOTH branches — under
+    # the while_loop formulation that re-gathers every iteration for every
+    # lane). Converged iterations still execute (masked); dyn.num_iters_icp
+    # is capped at this value.
+    unroll_iters: int = 0
 
 
 class SolverDynamics(NamedTuple):
@@ -541,8 +549,22 @@ def build_register_fn(statics: SolverStatics):
                 jnp.asarray(jnp.inf, raw.dtype), jnp.asarray(False),
                 jnp.int32(0), jnp.asarray(True), jnp.asarray(jnp.inf, raw.dtype),
                 zero_planes, te + 1e9)
-        (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough, _, _, _) = \
-            jax.lax.while_loop(cond, body, init)
+        if statics.unroll_iters > 0:
+            # python-level unroll: every iteration's ops are in the program
+            # (masked once converged) — no while_loop carry, and gathers sit
+            # at statically known program points (vmap-friendly)
+            carry = init
+            for _ in range(statics.unroll_iters):
+                it = carry[0]
+                active = (it < dyn.num_iters_icp) & ~carry[6]
+                new = body(carry)
+                carry = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(active, n, o), new, carry)
+            (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough,
+             _, _, _) = carry
+        else:
+            (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough,
+             _, _, _) = jax.lax.while_loop(cond, body, init)
 
         return RegistrationResult(
             quat_begin=s3.quat_normalize(fqb), tr_begin=ftb,
