@@ -100,6 +100,20 @@ class _InsertionTracker:
         self.skipped_frames += 1
 
 
+def _sanitize_scan(xyz, timestamps):
+    """Contiguous float64 copies with non-finite points dropped (real
+    sensors emit NaN returns; quantizing them would plant garbage
+    coordinates in the map). Raises on an empty result."""
+    xyz = np.ascontiguousarray(xyz, dtype=np.float64)
+    timestamps = np.ascontiguousarray(timestamps, dtype=np.float64)
+    finite = np.isfinite(xyz).all(axis=1) & np.isfinite(timestamps)
+    if not finite.all():
+        xyz, timestamps = xyz[finite], timestamps[finite]
+    if xyz.shape[0] == 0:
+        raise ValueError("The registered frame cannot be empty")
+    return xyz, timestamps
+
+
 class Odometry:
     """Per-frame continuous-time LiDAR odometry against a local voxel map."""
 
@@ -189,10 +203,7 @@ class Odometry:
         flip costs a fresh multi-second XLA compile, which can dwarf the
         upload bytes it saves when scan sizes straddle a power of two.
         """
-        xyz = np.ascontiguousarray(xyz, dtype=np.float64)
-        timestamps = np.ascontiguousarray(timestamps, dtype=np.float64)
-        if xyz.shape[0] == 0:
-            raise ValueError("The registered frame cannot be empty")
+        xyz, timestamps = _sanitize_scan(xyz, timestamps)
         info = FrameInfo(
             registered_fid=registered_fid,
             frame_id=registered_fid if frame_id is None else frame_id,
@@ -242,10 +253,7 @@ class Odometry:
         timestamps (any monotone unit).
         """
         t_start = time.time()
-        xyz = np.ascontiguousarray(xyz, dtype=np.float64)
-        timestamps = np.ascontiguousarray(timestamps, dtype=np.float64)
-        if xyz.shape[0] == 0:
-            raise ValueError("The registered frame cannot be empty")
+        xyz, timestamps = _sanitize_scan(xyz, timestamps)
 
         info = FrameInfo(
             registered_fid=self.registered_frames,

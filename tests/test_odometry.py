@@ -279,3 +279,31 @@ def test_map_points_export_and_visibility():
     # unoriented (zero-normal) points are never "visible"
     oriented = pn[np.linalg.norm(pn[:, 3:6], axis=1) > 0.5]
     assert vis.shape[0] <= oriented.shape[0] < pn.shape[0]
+
+
+def test_degenerate_scans_are_handled():
+    """Non-finite returns are dropped before quantization; empty scans
+    raise; a hopeless 1-point scan fails the registration rather than
+    corrupting state."""
+    acq = make_acquisition(seed=1)
+    odo = Odometry(small_options())
+    fr = acq.frame(0)
+    assert odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=0).success
+
+    fr2 = acq.frame(1)
+    xyz = fr2["xyz"].copy()
+    xyz[10:20] = np.nan
+    xyz[20:25] = np.inf
+    s = odo.register_frame(xyz, fr2["timestamps"], frame_id=1)
+    assert s.success
+    assert np.isfinite(s.frame.end_pose.tr).all()
+    # the map must not contain quantized-NaN garbage near the wire extremes
+    pts = odo.get_map_points(1)
+    assert np.abs(pts[:, :3]).max() < 1e3
+
+    with pytest.raises(ValueError):
+        odo.register_frame(np.zeros((0, 3)), np.zeros((0,)), frame_id=2)
+
+    s = odo.register_frame(np.array([[1.0, 2.0, 0.5]]), np.array([0.25]),
+                           frame_id=2)
+    assert not s.success
