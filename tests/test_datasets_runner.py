@@ -168,3 +168,39 @@ def test_runner_end_to_end_synthetic(tmp_path):
     runner._write_metrics_yaml()
     text = (tmp_path / "out" / "metrics.yaml").read_text()
     assert "SEGMENT_MEAN_ATE" in text and "MEAN_RPE" in text
+
+
+@pytest.mark.slow
+def test_ply_directory_end_to_end(tmp_path):
+    """The real-data path end to end: a synthetic sequence converted to a
+    PLY_DIRECTORY on disk, re-discovered through Dataset.load_dataset,
+    driven through the OdometryRunner with ground truth, metrics computed —
+    exactly the workflow of a KITTI-style user (reference run_odometry)."""
+    from tests.test_odometry import make_acquisition, small_options
+    from ct_icp_tpu.convert import convert_sequence
+    from ct_icp_tpu.runner import OdometryRunner
+
+    acq = make_acquisition(seed=23)
+    src = D.SyntheticSequence(acq)
+    src.set_max_num_frames(10)
+    seq_dir = tmp_path / "seq00" / "frames"
+    n = convert_sequence(src, seq_dir, max_frames=10)
+    assert n == 10 and len(list(seq_dir.glob("*.ply"))) == 10
+
+    ds = D.Dataset.load_dataset(D.DatasetOptions(
+        dataset=D.DatasetEnum.PLY_DIRECTORY, root_path=str(seq_dir)))
+    seq = ds.sequences[0]
+    # GT from the synthetic source (mid-frame poses, first-pose-relative)
+    gt = src.ground_truth()
+    assert gt is not None
+    seq.set_ground_truth(gt)
+
+    cfg = RunnerConfig(odometry_options=small_options(),
+                       output_dir=str(tmp_path / "out"),
+                       generate_directory_prefix=False,
+                       progress_bar=False, compute_metrics_period=0)
+    runner = OdometryRunner(cfg)
+    result = runner.run_sequence(seq, driving=False)
+    assert result.success and result.num_frames == 10
+    assert result.metrics is not None
+    assert result.metrics.mean_ape < 0.3
