@@ -33,7 +33,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ct_icp_tpu.config.options import OdometryOptions
 from ct_icp_tpu.core import se3 as s3
@@ -260,3 +260,64 @@ class DistributedOdometry:
     def map_size(self) -> int:
         return int(sum(np.asarray(l.count).sum()
                        for l in self.map_state.levels))
+
+    # ------------------------------------------------------ checkpointing —
+    def save_checkpoint(self, path) -> None:
+        """Write the full distributed state (sharded map gathered to host +
+        trajectory) to an .npz. The owner-hash partition is a function of
+        the shard count, so the checkpoint restores onto a mesh of the SAME
+        size (shard-count migration would need a re-partition pass)."""
+        import json
+        from pathlib import Path
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        arrays = {}
+        for i, lvl in enumerate(self.map_state.levels):
+            for name in lvl._fields:
+                if name == "win":
+                    continue  # derived; rebuilt per shard on load
+                arrays[f"level{i}_{name}"] = np.asarray(getattr(lvl, name))
+        arrays["trajectory"] = np.array([
+            np.concatenate([
+                f.begin_pose.quat, f.begin_pose.tr,
+                [f.begin_pose.timestamp, float(f.begin_pose.frame_id)],
+                f.end_pose.quat, f.end_pose.tr,
+                [f.end_pose.timestamp, float(f.end_pose.frame_id)]])
+            for f in self.trajectory]).reshape(len(self.trajectory), -1)
+        np.savez_compressed(path, **arrays)
+        meta = {"registered": self.registered,
+                "num_levels": len(self.map_state.levels),
+                "num_shards": int(self.mesh.shape[self.axis_name])}
+        Path(str(path) + ".meta.json").write_text(json.dumps(meta))
+
+    def load_checkpoint(self, path) -> None:
+        """Restore state written by :meth:`save_checkpoint` (same-size mesh)."""
+        import json
+        from pathlib import Path
+        from ct_icp_tpu.core.pose import Pose
+        path = Path(path)
+        data = np.load(str(path) if str(path).endswith(".npz")
+                       else str(path) + ".npz")
+        meta = json.loads(Path(str(path) + ".meta.json").read_text())
+        n = int(self.mesh.shape[self.axis_name])
+        if meta["num_shards"] != n:
+            raise ValueError(
+                f"checkpoint has {meta['num_shards']} shards, mesh has {n} "
+                "(owner-hash partitions are shard-count specific)")
+        sh = NamedSharding(self.mesh, P(self.axis_name))
+        levels = []
+        for i in range(meta["num_levels"]):
+            fields = {name: jnp.asarray(data[f"level{i}_{name}"])
+                      for name in vm.MapLevel._fields if name != "win"}
+            fields["win"] = jax.vmap(vm.build_window)(
+                fields["keys"], fields["count"])
+            levels.append(vm.MapLevel(**fields))
+        self.map_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh),
+            sm.ShardedMapState(levels=tuple(levels)))
+        self.trajectory = []
+        for row in data["trajectory"]:
+            self.trajectory.append(TrajectoryFrame(
+                Pose(row[0:4], row[4:7], float(row[7]), int(row[8])),
+                Pose(row[9:13], row[13:16], float(row[16]), int(row[17]))))
+        self.registered = meta["registered"]

@@ -78,3 +78,33 @@ def test_distributed_matches_mesh_size_1():
         # per-voxel caps) but the combined neighborhoods must agree closely
         assert fa.end_pose.location_distance(fb.end_pose) < 0.02
         assert fa.end_pose.angular_distance(fb.end_pose) < 0.2
+
+
+def test_distributed_checkpoint_roundtrip(tmp_path):
+    """Save/restore of the full distributed state: the restored instance
+    continues a sequence identically to the uninterrupted one."""
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("map",))
+    opts = dist_options()
+    rng = np.random.default_rng(3)
+    scans = []
+    for i in range(4):
+        scan = rng.uniform(-4, 4, (512, 3))
+        scan[:, 2] = 0.05 * rng.standard_normal(512)
+        scans.append((scan + np.array([0.05 * i, 0.0, 0.0]),
+                      np.linspace(0.1 * i, 0.1 * (i + 1), 512)))
+
+    a = DistributedOdometry(mesh, opts)
+    for xyz, ts in scans[:2]:
+        a.register_frame(xyz, ts)
+    a.save_checkpoint(tmp_path / "ckpt.npz")
+
+    b = DistributedOdometry(mesh, opts)
+    b.load_checkpoint(tmp_path / "ckpt.npz")
+    assert b.registered == 2
+    assert b.map_size() == a.map_size()
+
+    for xyz, ts in scans[2:]:
+        fa = a.register_frame(xyz, ts)
+        fb = b.register_frame(xyz, ts)
+        np.testing.assert_allclose(fa.end_pose.tr, fb.end_pose.tr, atol=1e-6)
+    assert a.map_size() == b.map_size()
