@@ -843,20 +843,19 @@ class Odometry:
             lvl = vm.recompute_level_normals(
                 lvl, jnp.asarray(loc, jnp.float32))
         keys = np.asarray(lvl.keys)
-        occupied = keys > int(vm.TOMB)
         count = np.asarray(lvl.count)
         pts = np.asarray(lvl.points).reshape(
             keys.shape[0], 3, -1).transpose(0, 2, 1)   # planar rows -> [C,P,3]
         nrm = np.asarray(lvl.normals)
-        out_p, out_n = [], []
-        for s in np.nonzero(occupied & (count > 0))[0]:
-            c = count[s]
-            out_p.append(pts[s, :c])
-            out_n.append(np.repeat(nrm[s][None, :], c, axis=0))
-        if not out_p:
+        occupied = (keys > int(vm.TOMB)) & (count > 0)
+        # vectorized flatten: keep slot (s, j) for j < count[s]
+        in_cap = (np.arange(pts.shape[1])[None, :]
+                  < np.where(occupied, count, 0)[:, None])    # [C, P]
+        if not in_cap.any():
             return np.zeros((0, 6))
-        p = np.concatenate(out_p) + self.origin
-        n = np.concatenate(out_n)
+        slot_idx, _ = np.nonzero(in_cap)
+        p = pts[in_cap] + self.origin
+        n = nrm[slot_idx]
         return np.concatenate([p, n], axis=1)
 
     def get_visible_map_points(self, view_point: np.ndarray,

@@ -204,3 +204,34 @@ def test_ply_directory_end_to_end(tmp_path):
     assert result.success and result.num_frames == 10
     assert result.metrics is not None
     assert result.metrics.mean_ape < 0.3
+
+
+@pytest.mark.slow
+def test_regression_harness(tmp_path):
+    """The golden-metric regression harness (reference regression_run.cxx):
+    passes within tolerance, writes an updated baseline yaml, and flags a
+    precision regression when the baseline is impossibly tight."""
+    from tests.test_odometry import make_acquisition, small_options
+    from ct_icp_tpu import regression as R
+
+    cfg = R.RegressionConfig(
+        tolerance_tr=0.05, tolerance_time_sec=-1.0,
+        runs=[R.RegressionRun(sequence_name="Synthetic Scene", kitti_Tr=2.0,
+                              avg_runtime_sec=-1.0, max_num_frames=8)],
+        dataset_options=D.DatasetOptions(
+            dataset=D.DatasetEnum.SYNTHETIC,
+            root_path="configs/synthetic_courtyard.yaml"),
+        odometry_options=small_options())
+    out = tmp_path / "updated.yaml"
+    assert R.run_regression(cfg, str(out))
+    assert out.exists()
+    import yaml as _yaml
+    updated = _yaml.safe_load(out.read_text())
+    assert updated["runs"][0]["kitti_Tr"] < 2.0  # measured, not the baseline
+
+    # an impossible runtime baseline must FAIL the regression
+    # (8 frames are too short for a KITTI RPE segment, so the precision
+    # metric is 0 here — the runtime check is the flaggable one)
+    cfg.runs[0].avg_runtime_sec = 1e-9
+    cfg.tolerance_time_sec = 0.0
+    assert not R.run_regression(cfg)
