@@ -78,7 +78,7 @@ class SolverStatics:
     ball_neighborhood: bool = True
     # compact the (2nv+1)^3 candidate voxels to the nearest-occupied subset
     # of this size at gather time (0 = keep all; see
-    # vm.gather_candidate_voxels). Driving stats: ~9 occupied of 27, p99=18.
+    # vm.gather_candidate_planes). Driving stats: ~9 occupied of 27, p99=18.
     max_candidate_voxels: int = 0
     # > 0: UNROLL the outer ICP loop to exactly this many iterations
     # (python-level, masked by convergence) instead of the lax.while_loop.

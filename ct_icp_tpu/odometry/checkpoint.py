@@ -26,9 +26,16 @@ if TYPE_CHECKING:
 FORMAT_VERSION = 1
 
 
+def _base_path(path) -> str:
+    """Checkpoint base name: '.npz' stripped so save('x') / load('x.npz')
+    (and vice versa) find the same pair of files."""
+    base = str(path)
+    return base[:-4] if base.endswith(".npz") else base
+
+
 def save_checkpoint(odometry: "Odometry", path) -> None:
     """Write the full odometry state to ``path`` (an .npz + sidecar json)."""
-    path = Path(path)
+    path = Path(_base_path(path))
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {}
     for i, lvl in enumerate(odometry.map_state.levels):
@@ -63,7 +70,7 @@ def save_checkpoint(odometry: "Odometry", path) -> None:
         },
         "rng_state": None,  # stored via pickle below (BitGenerator state dict)
     }
-    np.savez_compressed(path, **arrays)
+    np.savez_compressed(str(path) + ".npz", **arrays)
     sidecar = {"meta": meta,
                "rng": pickle.dumps(odometry.rng.bit_generator.state).hex(),
                "prev_frame": pickle.dumps(
@@ -74,8 +81,8 @@ def save_checkpoint(odometry: "Odometry", path) -> None:
 
 def load_checkpoint(odometry: "Odometry", path) -> None:
     """Restore state written by save_checkpoint into ``odometry``."""
-    path = Path(path)
-    data = np.load(str(path) if str(path).endswith(".npz") else str(path))
+    path = Path(_base_path(path))
+    data = np.load(str(path) + ".npz")
     sidecar = json.loads(Path(str(path) + ".meta.json").read_text())
     assert sidecar["format_version"] == FORMAT_VERSION
 

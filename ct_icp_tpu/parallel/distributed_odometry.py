@@ -194,6 +194,8 @@ class DistributedOdometry:
 
     def register_frame(self, xyz: np.ndarray, timestamps: np.ndarray
                        ) -> TrajectoryFrame:
+        from ct_icp_tpu.odometry.odometry import _sanitize_scan
+        xyz, timestamps = _sanitize_scan(xyz, timestamps)
         o = self.options
         k = self.registered
         frame = self._motion_init(float(timestamps.min()),
@@ -269,36 +271,42 @@ class DistributedOdometry:
         size (shard-count migration would need a re-partition pass)."""
         import json
         from pathlib import Path
-        path = Path(path)
-        path.parent.mkdir(parents=True, exist_ok=True)
+        base = str(path)
+        if base.endswith(".npz"):
+            base = base[:-4]
+        Path(base).parent.mkdir(parents=True, exist_ok=True)
         arrays = {}
         for i, lvl in enumerate(self.map_state.levels):
             for name in lvl._fields:
                 if name == "win":
                     continue  # derived; rebuilt per shard on load
                 arrays[f"level{i}_{name}"] = np.asarray(getattr(lvl, name))
-        arrays["trajectory"] = np.array([
-            np.concatenate([
-                f.begin_pose.quat, f.begin_pose.tr,
-                [f.begin_pose.timestamp, float(f.begin_pose.frame_id)],
-                f.end_pose.quat, f.end_pose.tr,
-                [f.end_pose.timestamp, float(f.end_pose.frame_id)]])
-            for f in self.trajectory]).reshape(len(self.trajectory), -1)
-        np.savez_compressed(path, **arrays)
+        if self.trajectory:
+            arrays["trajectory"] = np.stack([
+                np.concatenate([
+                    f.begin_pose.quat, f.begin_pose.tr,
+                    [f.begin_pose.timestamp, float(f.begin_pose.frame_id)],
+                    f.end_pose.quat, f.end_pose.tr,
+                    [f.end_pose.timestamp, float(f.end_pose.frame_id)]])
+                for f in self.trajectory])
+        else:
+            arrays["trajectory"] = np.zeros((0, 18))
+        np.savez_compressed(base + ".npz", **arrays)
         meta = {"registered": self.registered,
                 "num_levels": len(self.map_state.levels),
                 "num_shards": int(self.mesh.shape[self.axis_name])}
-        Path(str(path) + ".meta.json").write_text(json.dumps(meta))
+        Path(base + ".meta.json").write_text(json.dumps(meta))
 
     def load_checkpoint(self, path) -> None:
         """Restore state written by :meth:`save_checkpoint` (same-size mesh)."""
         import json
         from pathlib import Path
         from ct_icp_tpu.core.pose import Pose
-        path = Path(path)
-        data = np.load(str(path) if str(path).endswith(".npz")
-                       else str(path) + ".npz")
-        meta = json.loads(Path(str(path) + ".meta.json").read_text())
+        base = str(path)
+        if base.endswith(".npz"):
+            base = base[:-4]
+        data = np.load(base + ".npz")
+        meta = json.loads(Path(base + ".meta.json").read_text())
         n = int(self.mesh.shape[self.axis_name])
         if meta["num_shards"] != n:
             raise ValueError(
@@ -307,14 +315,18 @@ class DistributedOdometry:
         sh = NamedSharding(self.mesh, P(self.axis_name))
         levels = []
         for i in range(meta["num_levels"]):
-            fields = {name: jnp.asarray(data[f"level{i}_{name}"])
+            # device_put the HOST arrays with the target sharding directly —
+            # a jnp.asarray would commit the full gathered map to one device
+            # first, OOMing exactly the larger-than-one-HBM maps the
+            # sharding exists for
+            fields = {name: jax.device_put(data[f"level{i}_{name}"], sh)
                       for name in vm.MapLevel._fields if name != "win"}
-            fields["win"] = jax.vmap(vm.build_window)(
+            # the shard-axis vmap of the window build preserves the input
+            # sharding under jit (rolls act within each shard's table)
+            fields["win"] = jax.jit(jax.vmap(vm.build_window))(
                 fields["keys"], fields["count"])
             levels.append(vm.MapLevel(**fields))
-        self.map_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sh),
-            sm.ShardedMapState(levels=tuple(levels)))
+        self.map_state = sm.ShardedMapState(levels=tuple(levels))
         self.trajectory = []
         for row in data["trajectory"]:
             self.trajectory.append(TrajectoryFrame(

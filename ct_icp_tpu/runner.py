@@ -139,24 +139,32 @@ class OdometryRunner:
                     yield odo.register_frame_prepared(prep)
 
         t_prev = time.time()
-        for summary in summaries():
-            now = time.time()
-            runtimes.append(now - t_prev)
-            t_prev = now
-            if not summary.success:
-                print(f"[{name}] frame {fid} FAILED: {summary.error_message}",
-                      file=sys.stderr)
-                result.success = False
-                if self.config.exit_early:
-                    break
-            fid += 1
-            if self.config.progress_bar and fid % 20 == 0:
-                avg = float(np.mean(runtimes[-20:])) * 1000
-                print(f"[{name}] frame {fid}  avg {avg:.1f} ms/frame",
-                      flush=True)
-            if (self.config.compute_metrics_period > 0
-                    and fid % self.config.compute_metrics_period == 0):
-                self._save_sequence_outputs(name, seq, odo, driving, result)
+        try:
+            for summary in summaries():
+                now = time.time()
+                runtimes.append(now - t_prev)
+                t_prev = now
+                if not summary.success:
+                    print(f"[{name}] frame {fid} FAILED: "
+                          f"{summary.error_message}", file=sys.stderr)
+                    result.success = False
+                    if self.config.exit_early:
+                        break
+                fid += 1
+                if self.config.progress_bar and fid % 20 == 0:
+                    avg = float(np.mean(runtimes[-20:])) * 1000
+                    print(f"[{name}] frame {fid}  avg {avg:.1f} ms/frame",
+                          flush=True)
+                if (self.config.compute_metrics_period > 0
+                        and fid % self.config.compute_metrics_period == 0):
+                    self._save_sequence_outputs(name, seq, odo, driving,
+                                                result)
+        except ValueError as e:
+            # a degenerate frame (e.g. every return non-finite) raises from
+            # prepare/register; fail the sequence but keep the registered
+            # prefix and its outputs/metrics rather than killing the run
+            print(f"[{name}] frame {fid} ABORTED: {e}", file=sys.stderr)
+            result.success = False
 
         result.num_frames = fid
         result.finished = not seq.has_next()
@@ -176,21 +184,22 @@ class OdometryRunner:
             est_traj = LinearContinuousTrajectory(mids, check_sorted=True)
             gt_slice = [p for p in gt if p.frame_id < len(trajectory)] \
                 if any(p.frame_id >= 0 for p in gt) else gt[:len(trajectory)]
+            est = None
             if len(gt_slice) > 1:
                 try:
-                    result.metrics = ev.evaluate_continuous_trajectory(
-                        gt_slice, est_traj, driving)
+                    # interpolate once; both metric families reuse it
+                    est = [est_traj.interpolate_pose(p.timestamp, clip=True)
+                           for p in gt_slice]
+                    result.metrics = ev.evaluate_poses(gt_slice, est, driving)
                     result.metrics.average_elapsed_ms = result.avg_runtime_ms
                 except Exception as e:  # metrics must never kill the run
                     print(f"[{name}] metrics failed: {e}", file=sys.stderr)
-            if len(gt_slice) > 5:
+            if est is not None and len(gt_slice) > 5:
                 # segment-ATE trajectory metrics alongside the KITTI RPE
                 # (reference ComputeTrajectoryMetrics, eval.cxx:184-292)
                 try:
                     from ct_icp_tpu.evaluation.trajectory_metrics import (
                         compute_trajectory_metrics)
-                    est = [est_traj.interpolate_pose(p.timestamp, clip=True)
-                           for p in gt_slice]
                     seg_len = 100.0 if driving else 10.0
                     result.trajectory_metrics = compute_trajectory_metrics(
                         gt_slice, est, segment_length=seg_len)
@@ -209,9 +218,11 @@ class OdometryRunner:
     def _write_metrics_yaml(self):
         metrics = {name: r.metrics for name, r in self.results.items()
                    if r.metrics is not None}
-        if not metrics:
+        have_traj = any(r.trajectory_metrics is not None
+                        for r in self.results.values())
+        if not metrics and not have_traj:
             return
-        text = ev.generate_metrics_yaml(metrics)
+        text = ev.generate_metrics_yaml(metrics) if metrics else ""
         for name, r in self.results.items():
             if r.trajectory_metrics is not None:
                 from ct_icp_tpu.evaluation.trajectory_metrics import (

@@ -235,3 +235,33 @@ def test_regression_harness(tmp_path):
     cfg.runs[0].avg_runtime_sec = 1e-9
     cfg.tolerance_time_sec = 0.0
     assert not R.run_regression(cfg)
+
+
+@pytest.mark.slow
+def test_runner_survives_degenerate_frame(tmp_path):
+    """An all-NaN frame mid-sequence fails the sequence but must not kill
+    the runner: the registered prefix and its outputs survive."""
+    from tests.test_odometry import make_acquisition, small_options
+    from ct_icp_tpu.runner import OdometryRunner
+
+    acq = make_acquisition(seed=29)
+
+    class BrokenSeq(D.SyntheticSequence):
+        def next_frame(self):
+            fr = super().next_frame()
+            if self._count == 3:  # 4th frame: every return non-finite
+                fr["xyz"] = np.full_like(fr["xyz"], np.nan)
+            self._count += 1
+            return fr
+
+    seq = BrokenSeq(acq)
+    seq._count = 0
+    seq.set_max_num_frames(8)
+    cfg = RunnerConfig(odometry_options=small_options(),
+                       output_dir=str(tmp_path / "out"),
+                       generate_directory_prefix=False,
+                       progress_bar=False, compute_metrics_period=0)
+    runner = OdometryRunner(cfg)
+    result = runner.run_sequence(seq, driving=False)
+    assert not result.success
+    assert 0 < result.num_frames <= 8
