@@ -265,3 +265,38 @@ def test_runner_survives_degenerate_frame(tmp_path):
     result = runner.run_sequence(seq, driving=False)
     assert not result.success
     assert 0 < result.num_frames <= 8
+
+
+class TestHILTI:
+    def test_tum_gt_parsing_and_conjugation(self, tmp_path):
+        """HILTI GT: TUM format (ts x y z qx qy qz qw), comments skipped,
+        poses conjugated into the lidar frame (Calib^-1 P Calib)."""
+        gt_file = tmp_path / "03.txt"
+        gt_file.write_text(
+            "# timestamp tx ty tz qx qy qz qw\n"
+            "0.0 0.0 0.0 0.0 0.0 0.0 0.0 1.0\n"
+            "0.1 1.0 2.0 3.0 0.0 0.0 0.0 1.0\n"
+            "0.2 2.0 4.0 6.0 0.0 0.0 0.7071068 0.7071068\n")
+        poses = D.read_tum_poses(gt_file)
+        assert len(poses) == 3
+        # wxyz storage order
+        np.testing.assert_allclose(poses[0].quat, [1.0, 0, 0, 0])
+        np.testing.assert_allclose(poses[1].tr, [1.0, 2.0, 3.0])
+
+        gt = D.load_hilti_gt(tmp_path, "03", D.DatasetEnum.HILTI_2022)
+        assert gt is not None and len(gt) == 3
+        # conjugation preserves RELATIVE translation norms
+        for raw, conv in ((poses, gt),):
+            d_raw = np.linalg.norm(raw[1].tr - raw[0].tr)
+            d_conv = np.linalg.norm(conv[1].tr - conv[0].tr)
+            np.testing.assert_allclose(d_raw, d_conv, rtol=1e-9)
+        assert gt[0].timestamp == 0.0 and gt[2].timestamp == 0.2
+
+    def test_hilti_discovery(self, tmp_path):
+        seq_dir = tmp_path / "03" / "frames"
+        seq_dir.mkdir(parents=True)
+        write_ply_xyzt(seq_dir / "frame_000000.ply", np.zeros((3, 3)),
+                       np.zeros(3))
+        ds = D.Dataset.load_dataset(D.DatasetOptions(
+            dataset=D.DatasetEnum.HILTI_2021, root_path=str(tmp_path)))
+        assert ds.has_sequence("03")
