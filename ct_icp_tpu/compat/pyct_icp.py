@@ -127,3 +127,79 @@ class Odometry:
 
     def Reset(self, options=None):
         self._odometry.reset(options)
+
+
+# --------------------------------------------------------- dataset surface —
+# (reference pyct_icp.cpp:270-301: DatasetOptions / DatasetSequence class
+# bindings + the module-level dataset helper functions)
+
+from ct_icp_tpu.core.pose import Pose, TrajectoryFrame  # noqa: E402
+from ct_icp_tpu.datasets.dataset import (DatasetOptions,  # noqa: E402
+                                         Dataset as _Dataset,
+                                         SequenceInfo)
+
+
+class DatasetSequence:
+    """Reference-binding-shaped iterator over one dataset sequence."""
+
+    def __init__(self, sequence):
+        self._seq = sequence
+
+    def HasNext(self) -> bool:
+        return self._seq.has_next()
+
+    def Next(self) -> LiDARFrame:
+        fr = self._seq.next_frame()
+        return LiDARFrame.from_xyz(fr["xyz"], fr.get("timestamps"))
+
+    def NumFrames(self) -> int:
+        return self._seq.num_frames()
+
+    def WithRandomAccess(self) -> bool:
+        return self._seq.with_random_access()
+
+    def Frame(self, index_frame: int) -> LiDARFrame:
+        assert self._seq.with_random_access(), \
+            "Random Access is not available for the dataset"
+        fr = self._seq.get_frame(index_frame)
+        return LiDARFrame.from_xyz(fr["xyz"], fr.get("timestamps"))
+
+
+def sequence_name(options: DatasetOptions, sequence_id: int) -> str:
+    """Reference ct_icp::sequence_name."""
+    ds = _Dataset.load_dataset(options)
+    return ds.sequences[sequence_id].seq_info.sequence_name
+
+
+def get_sequences(options: DatasetOptions):
+    """Reference ct_icp::get_sequences: the SequenceInfos on disk."""
+    ds = _Dataset.load_dataset(options)
+    return [s.seq_info for s in ds.sequences]
+
+
+def has_ground_truth(options: DatasetOptions, sequence_name: str) -> bool:
+    """Reference ct_icp::has_ground_truth."""
+    ds = _Dataset.load_dataset(options)
+    return (ds.has_sequence(sequence_name)
+            and ds.sequence(sequence_name).has_ground_truth())
+
+
+def get_dataset_sequence(options: DatasetOptions,
+                         sequence_name: str) -> DatasetSequence:
+    """Reference ct_icp::get_dataset_sequence."""
+    ds = _Dataset.load_dataset(options)
+    return DatasetSequence(ds.sequence(sequence_name))
+
+
+def load_sensor_ground_truth(options: DatasetOptions, sequence_name: str):
+    """Reference ct_icp::load_sensor_ground_truth (GT in the sensor frame)."""
+    ds = _Dataset.load_dataset(options)
+    gt = ds.sequence(sequence_name).ground_truth()
+    if gt is None:
+        raise ValueError(f"no ground truth for sequence {sequence_name}")
+    return gt
+
+
+# the reference aliases load_ground_truth to the sensor-frame loader
+# (pyct_icp.cpp:300)
+load_ground_truth = load_sensor_ground_truth
