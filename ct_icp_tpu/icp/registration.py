@@ -179,6 +179,74 @@ class CTICPRegistration:
         summary.duration_total = (time.time() - t0) * 1000.0
         return summary
 
+    def debug_problem(self, map_state: vm.MapState,
+                      raw_kpts: np.ndarray, timestamps: np.ndarray,
+                      frame: TrajectoryFrame,
+                      origin: Optional[np.ndarray] = None,
+                      options: Optional[CTICPOptions] = None) -> dict:
+        """Per-point problem arrays at the CURRENT pose — the observability
+        the reference gates behind output_weights/output_normals/
+        output_residuals (OutputBuilder, reference ct_icp.cpp:1075-1177).
+
+        Returns numpy arrays keyed: world, anchors, normals, lines,
+        weights, residuals (point-to-plane values), neighborhood_count
+        proxy ``ok`` and classification ``cls`` — for the valid prefix.
+        Off the hot path: one extra dispatch, no effect on register()."""
+        import jax
+
+        from ct_icp_tpu.icp import residuals as res_mod
+        from ct_icp_tpu.icp import solver as slv_mod
+
+        opts = options or self.options
+        origin = np.zeros(3) if origin is None else np.asarray(origin)
+        k = self.statics.num_keypoints
+        n = raw_kpts.shape[0]
+        raw = np.zeros((k, 3), np.float32)
+        raw[:n] = raw_kpts
+        valid = np.zeros((k,), bool)
+        valid[:n] = True
+        alphas64 = s3n.alpha_timestamp(
+            np.asarray(timestamps, np.float64),
+            frame.begin_pose.timestamp, frame.end_pose.timestamp)
+        alphas = np.ones((k,), np.float32)
+        alphas[:n] = alphas64
+
+        qb = jnp.asarray(s3n.quat_normalize(frame.begin_pose.quat), jnp.float32)
+        tb = jnp.asarray(frame.begin_pose.tr - origin, jnp.float32)
+        qe = jnp.asarray(s3n.quat_normalize(frame.end_pose.quat), jnp.float32)
+        te = jnp.asarray(frame.end_pose.tr - origin, jnp.float32)
+        dyn = slv_mod.unpack_dynamics(jnp.asarray(self.dynamics(opts)))
+
+        statics = self.statics
+
+        @jax.jit
+        def build(level, raw, alphas, valid, qb, tb, qe, te):
+            anchors, normals, lines, cov_inv, geom_w, ok, cls, _ = \
+                slv_mod._build_problem(statics, dyn, level, raw, alphas,
+                                       valid, qb, tb, qe, te, te)
+            world = res_mod.interp_world_points(qb, tb, qe, te, raw, alphas)
+            r = res_mod.geometric_residuals(
+                statics.distance, world, anchors, normals, lines, cov_inv,
+                geom_w)
+            return world, anchors, normals, lines, geom_w, ok, cls, r
+
+        out = build(map_state.levels[self.level_index], jnp.asarray(raw),
+                    jnp.asarray(alphas), jnp.asarray(valid), qb, tb, qe, te)
+        # scalar placeholders (e.g. cls outside ROBUST mode) broadcast to [K]
+        world, anchors, normals, lines, geom_w, ok, cls, r = (
+            np.broadcast_to(np.asarray(x), (k,) + np.shape(x)[1:])
+            if np.ndim(x) == 0 else np.asarray(x) for x in out)
+        return {
+            "world": world[:n] + origin,
+            "anchors": anchors[:n] + origin,
+            "normals": normals[:n],
+            "lines": lines[:n],
+            "weights": geom_w[:n],
+            "ok": ok[:n],
+            "classification": cls[:n],
+            "residuals": r[:n],
+        }
+
     def register(self, map_state: vm.MapState,
                  raw_kpts: np.ndarray, timestamps: np.ndarray,
                  frame: TrajectoryFrame,

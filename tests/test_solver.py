@@ -338,3 +338,23 @@ def test_prediction_consistency_model_constrains_registration(room):
     bad = gt.copy()
     bad.end_pose.tr = bad.end_pose.tr + np.array([2.0, 0.0, 0.0])
     assert not model.is_valid(bad)
+
+
+def test_debug_problem_outputs(room):
+    """The per-point debug outputs (reference OutputBuilder semantics,
+    output_weights/normals/residuals): arrays for the valid prefix, normals
+    unit-length where a neighborhood exists, residuals small at GT."""
+    rng = np.random.default_rng(41)
+    gt = _gt_frame()
+    raw, ts = render_scan(rng, 500, gt)
+    reg = CTICPRegistration(CTICPOptions(min_number_neighbors=10),
+                            MAP_OPTIONS, num_keypoints=1024)
+    dbg = reg.debug_problem(room, raw, ts, gt.copy())
+    n = raw.shape[0]
+    assert dbg["world"].shape == (n, 3)
+    ok = dbg["ok"]
+    assert ok.sum() > 300
+    nn = np.linalg.norm(dbg["normals"][ok], axis=1)
+    np.testing.assert_allclose(nn, 1.0, atol=1e-3)
+    assert np.abs(dbg["residuals"][ok]).mean() < 0.05
+    assert (dbg["weights"][ok] > 0).all()
