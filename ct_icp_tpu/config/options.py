@@ -246,6 +246,23 @@ class CTICPOptions:
     output_normals: bool = False
     debug_print: bool = False
 
+    # --------------------------------------------- TPU search-path knobs —
+    # ball_neighborhood: estimate descriptors from ALL in-radius candidates
+    # instead of the k nearest (drops the top-k sort — the reference's
+    # max_number_neighbors cap only bounds CPU work). False = exact k-NN
+    # parity with the reference search (neighborhood_strategy.h:60-85).
+    ball_neighborhood: bool = True
+    # in ball mode, cap descriptor moments to ~the max_number_neighbors
+    # nearest candidates via an adaptive histogram radius (restores the
+    # reference's k-NN normal locality; False = whole-ball moments).
+    knn_moments: bool = True
+    # candidate-plane cache policy (ball mode): fresh neighbor gathers for
+    # the first N ICP iterations; later iterations re-score the cached
+    # candidate planes unless the pose moved > voxel/2 since the last
+    # gather. Set >= num_iters_icp to gather every iteration (exact parity
+    # with the reference's per-iteration search, ct_icp.cpp:561-604).
+    regather_iters: int = 1
+
 
 # ----------------------------------------------------------------- odometry —
 
@@ -315,6 +332,11 @@ class OdometryOptions:
     always_insert: bool = False
     do_no_insert: bool = False
     debug_print: bool = False
+    # per-phase ICP timing (reference ICPSummary durations, ct_icp.h:155-169):
+    # drive the same jitted phase kernels from a host loop with a sync point
+    # per phase so init/neighborhood/solve durations are real wall times.
+    # Forces the staged (non-fused) path — observability, not throughput.
+    profile_registration: bool = False
     log_to_file: bool = False
     log_file_destination: str = "/tmp/ct_icp_tpu.log"
 

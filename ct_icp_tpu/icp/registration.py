@@ -63,6 +63,36 @@ def make_prior(previous_frame: Optional[TrajectoryFrame], motion_options,
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _profiled_phase_fns(statics):
+    """Jitted (neighborhood+descriptor, LM solve) phase kernels for the
+    profiled registration path — the same _build_problem/_lm_inner_loop the
+    fused solver uses, dispatched separately so each phase has a sync point."""
+    import jax
+
+    @jax.jit
+    def build(level, raw, alphas, valid, qb, tb, qe, te, dyn_packed):
+        dyn = slv.unpack_dynamics(dyn_packed)
+        anchors, normals, lines, cov_inv, geom_w, ok, cls, _ = \
+            slv._build_problem(statics, dyn, level, raw, alphas, valid,
+                               qb, tb, qe, te, te)
+        return anchors, normals, lines, cov_inv, geom_w, ok, cls
+
+    @jax.jit
+    def solve(raw, alphas, anchors, normals, lines, cov_inv, geom_w, ok, cls,
+              qb, tb, qe, te, prior_packed, dyn_packed):
+        dyn = slv.unpack_dynamics(dyn_packed)
+        prior = slv.unpack_prior(prior_packed)
+        return slv._lm_inner_loop(statics, dyn, raw, alphas, anchors, normals,
+                                  lines, cov_inv, geom_w, ok, cls,
+                                  qb, tb, qe, te, prior)
+
+    return build, solve
+
+
 class CTICPRegistration:
     """Registers a keypoint batch against the map, optimizing the 12-DoF
     continuous-time frame (begin_pose, end_pose)."""
@@ -108,6 +138,8 @@ class CTICPRegistration:
             use_lines=options.use_lines,
             use_distribution=options.use_distribution,
             use_distance_strategy=distance_strategy is not None,
+            ball_neighborhood=options.ball_neighborhood,
+            knn_moments=options.knn_moments,
             # candidate compaction: net-negative at 27 candidates (top_k
             # costs more than the smaller rescore saves) but decisive at
             # nv>=2 (125+ candidates, of which only the ~2D surface sheet is
@@ -246,6 +278,100 @@ class CTICPRegistration:
             "classification": cls[:n],
             "residuals": r[:n],
         }
+
+    def register_profiled(self, map_state: vm.MapState,
+                          raw_dev, alphas_dev, valid_dev,
+                          frame: TrajectoryFrame,
+                          prior: Optional[np.ndarray] = None,
+                          origin: Optional[np.ndarray] = None,
+                          options: Optional[CTICPOptions] = None
+                          ) -> ICPSummary:
+        """Phase-timed registration (reference ICPSummary durations,
+        ct_icp.h:155-169, filled at ct_icp.cpp:664-694).
+
+        The hot path fuses search + solve into one XLA program, which is the
+        point of the TPU design — but it also makes per-phase durations
+        unmeasurable there. This variant drives the SAME jitted phase
+        kernels (_build_problem / _lm_inner_loop) from a host loop with a
+        sync point per phase, so ``duration_init``, ``avg_duration_iter``,
+        ``avg_duration_neighborhood`` and ``avg_duration_solve`` are real
+        wall times (ms). Each sync costs a device round trip: use for
+        observability, not throughput.
+        """
+        import time
+
+        import jax
+
+        t0 = time.time()
+        origin = np.zeros(3) if origin is None else np.asarray(origin)
+        opts = options or self.options
+        dyn_packed = jnp.asarray(self.dynamics(opts))
+        if prior is None:
+            prior = make_prior(None, None, origin)
+        prior_dev = jnp.asarray(prior)
+
+        qb = jnp.asarray(s3n.quat_normalize(frame.begin_pose.quat), jnp.float32)
+        tb = jnp.asarray(frame.begin_pose.tr - origin, jnp.float32)
+        qe = jnp.asarray(s3n.quat_normalize(frame.end_pose.quat), jnp.float32)
+        te = jnp.asarray(frame.end_pose.tr - origin, jnp.float32)
+        level = map_state.levels[self.level_index]
+        build, solve = _profiled_phase_fns(self.statics)
+        jax.block_until_ready((raw_dev, alphas_dev, valid_dev))
+        summary = ICPSummary()
+        summary.duration_init = (time.time() - t0) * 1000.0
+
+        t_neigh = t_solve = 0.0
+        n_res = 0
+        iters = 0
+        converged = False
+        for it in range(int(opts.num_iters_icp)):
+            t1 = time.time()
+            problem = jax.block_until_ready(build(
+                level, raw_dev, alphas_dev, valid_dev, qb, tb, qe, te,
+                dyn_packed))
+            t2 = time.time()
+            nqb, ntb, nqe, nte, cost, n_res_dev = jax.block_until_ready(solve(
+                raw_dev, alphas_dev, *problem, qb, tb, qe, te, prior_dev,
+                dyn_packed))
+            t3 = time.time()
+            t_neigh += t2 - t1
+            t_solve += t3 - t2
+            iters += 1
+            n_res = int(n_res_dev)
+            if n_res < int(opts.min_number_neighbors):
+                break
+            diff_rot = (s3n.angular_distance_deg(np.asarray(qb), np.asarray(nqb))
+                        + s3n.angular_distance_deg(np.asarray(qe),
+                                                   np.asarray(nqe)))
+            diff_tr = (np.linalg.norm(np.asarray(tb) - np.asarray(ntb))
+                       + np.linalg.norm(np.asarray(te) - np.asarray(nte)))
+            qb, tb, qe, te = nqb, ntb, nqe, nte
+            if (diff_rot < opts.threshold_orientation_norm
+                    and diff_tr < opts.threshold_translation_norm):
+                converged = True
+                break
+
+        frame.begin_pose.quat = np.asarray(qb, np.float64)
+        frame.begin_pose.tr = np.asarray(tb, np.float64) + origin
+        frame.end_pose.quat = np.asarray(qe, np.float64)
+        frame.end_pose.tr = np.asarray(te, np.float64) + origin
+        frame.begin_pose.normalize_()
+        frame.end_pose.normalize_()
+
+        summary.num_iters = iters
+        summary.num_residuals_used = n_res
+        summary.success = n_res >= int(opts.min_number_neighbors)
+        if not summary.success:
+            summary.error_log = (
+                f"[CT_ICP] Error : not enough keypoints selected in ct-icp ! "
+                f"number_of_residuals : {n_res}")
+        k = max(iters, 1)
+        summary.avg_duration_neighborhood = t_neigh / k * 1000.0
+        summary.avg_duration_solve = t_solve / k * 1000.0
+        summary.avg_duration_iter = (t_neigh + t_solve) / k * 1000.0
+        summary.duration_total = (time.time() - t0) * 1000.0
+        del converged
+        return summary
 
     def register(self, map_state: vm.MapState,
                  raw_kpts: np.ndarray, timestamps: np.ndarray,

@@ -71,11 +71,15 @@ class SolverStatics:
     # per-point search radius growing with sensor distance
     # (reference DistanceBasedStrategy, neighborhood_strategy.h:95-146)
     use_distance_strategy: bool = False
-    # ball-neighborhood fast path: estimate descriptors from ALL in-radius
-    # candidates instead of the k nearest (drops the top-k sort; the
-    # max_number_neighbors cap only exists in the reference to bound CPU
-    # work). Set False for exact k-NN parity with the reference.
+    # ball-neighborhood fast path: estimate descriptors without a top-k sort.
+    # Set False for exact k-NN parity with the reference.
     ball_neighborhood: bool = True
+    # in ball mode, cap the moment accumulation to ~the k nearest candidates
+    # (k = dyn.max_number_neighbors) via a histogram-selected adaptive radius
+    # (vm._knn_radius2). Restores the locality of the reference's k-NN
+    # normals (neighborhood_strategy.h:60-85) at ball-mode cost; False =
+    # whole-ball moments (round-1 behavior, measured ~1.6x worse APE).
+    knn_moments: bool = True
     # compact the (2nv+1)^3 candidate voxels to the nearest-occupied subset
     # of this size at gather time (0 = keep all; see
     # vm.gather_candidate_planes). Driving stats: ~9 occupied of 27, p99=18.
@@ -119,11 +123,13 @@ class SolverDynamics(NamedTuple):
     radius_exponent: jnp.ndarray
     # candidate-cache policy: fresh gathers for the first N ICP iterations
     regather_iters: jnp.ndarray
+    # k of the knn_moments adaptive-radius cap (reference max_number_neighbors)
+    max_number_neighbors: jnp.ndarray
 
 
 _INT_FIELDS = {"num_iters_icp", "ls_max_num_iters", "min_number_neighbors",
                "threshold_voxel_occupancy", "max_num_residuals",
-               "regather_iters"}
+               "regather_iters", "max_number_neighbors"}
 
 
 def pack_dynamics(opts: CTICPOptions, search_radius, voxel_resolution,
@@ -148,7 +154,8 @@ def pack_dynamics(opts: CTICPOptions, search_radius, voxel_resolution,
         ds.radius_min if ds else 0.0,
         ds.radius_max if ds else 0.0,
         ds.exponent if ds else 1.0,
-        1.0,  # regather_iters
+        opts.regather_iters,
+        opts.max_number_neighbors,
     ]
     return np.asarray(vals, dtype=np.float32)
 
@@ -226,7 +233,10 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
                                   lambda _: cached_planes, None)
         rows, cnt_ok = planes
         ncount, sum_rel, sum_outer, closest, closest_dist = \
-            vm.moments_from_planes(rows, cnt_ok, world, radius)
+            vm.moments_from_planes(
+                rows, cnt_ok, world, radius,
+                k_nearest=(dyn.max_number_neighbors
+                           if statics.knn_moments else None))
         ok = valid & (ncount >= dyn.min_number_neighbors)
         desc = description_from_moments(ncount, sum_rel, sum_outer, world)
         closest_dist = jnp.where(jnp.isfinite(closest_dist), closest_dist, 0.0)

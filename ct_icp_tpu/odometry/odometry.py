@@ -32,6 +32,7 @@ from ct_icp_tpu.core.pose import Pose, TrajectoryFrame
 from ct_icp_tpu.icp.registration import (CTICPRegistration, ICPSummary,
                                          make_prior)
 from ct_icp_tpu.mapping import voxel_map as vm
+from ct_icp_tpu.mapping.frame_ring import FrameRing
 from ct_icp_tpu.odometry import pipeline as pl
 from ct_icp_tpu.odometry.motion_model import PreviousFrameMotionModel
 from ct_icp_tpu.ops import sampling as smp
@@ -139,7 +140,8 @@ class Odometry:
         self._fused_available = (options.sampling == SamplingOption.GRID
                                  and options.max_num_keypoints <= 0)
         self._use_fused = (not options.robust_registration
-                           and self._fused_available)
+                           and self._fused_available
+                           and not options.profile_registration)
         self._frame_step = None
         if self._use_fused or self._fused_available:
             self._frame_step = pl.make_frame_step_fn(
@@ -163,6 +165,10 @@ class Odometry:
         self.suspect_registration_error = False
         self.next_robust_level = options.robust_minimal_level
         self.insertion_tracker = _InsertionTracker(options)
+        # retention of the last-N inserted frame clouds (reference
+        # max_frames_to_keep, map.h:124,246-253) — export/replay surface
+        self.frame_ring = FrameRing(self.map_options.max_frames_to_keep)
+        self._pending_scans: Dict[int, tuple] = {}   # fid -> (xyz, ts)
         self.rng = np.random.default_rng(seed)
         self.callbacks: Dict[str, list] = {}
         # a cadence prune that could not run (robust attempt failed its
@@ -240,6 +246,7 @@ class Odometry:
         self._initialize_motion(info, initial_estimate)
         summary = self._do_register(prep["xyz"], prep["timestamps"], info,
                                     prep=prep)
+        self._record_frame(info, prep["xyz"], prep["timestamps"], summary)
         summary.logged_values["odometry_total"] = (time.time() - t_start) * 1e3
         return summary
 
@@ -263,8 +270,27 @@ class Odometry:
         self.registered_frames += 1
         self._initialize_motion(info, initial_estimate)
         summary = self._do_register(xyz, timestamps, info)
+        self._record_frame(info, xyz, timestamps, summary)
         summary.logged_values["odometry_total"] = (time.time() - t_start) * 1e3
         return summary
+
+    # --------------------------------------------------- frame retention —
+    def _stash_scan(self, prep: dict):
+        """Remember a streamed scan until its insertion outcome resolves
+        (one batch behind); feeds the frame ring."""
+        if self.frame_ring.enabled:
+            info = prep["info"]
+            self._pending_scans[info.registered_fid] = (
+                prep["xyz"], prep["timestamps"])
+
+    def _record_frame(self, info: FrameInfo, xyz, timestamps,
+                      summary: RegistrationSummary):
+        """Retain an *inserted* frame's cloud + poses (reference
+        map.h:246-253 keeps only frames that went through InsertPointCloud)."""
+        self._pending_scans.pop(info.registered_fid, None)
+        if summary.points_added and self.frame_ring.enabled:
+            self.frame_ring.push(info.frame_id, xyz, timestamps,
+                                 summary.frame)
 
     # ------------------------------------------------------- streaming mode —
     def stream_frames(self, preps, batch: int = 1):
@@ -345,6 +371,7 @@ class Odometry:
             assert info.registered_fid == self.registered_frames, \
                 "Prepared frames must be streamed in order"
             self.registered_frames += 1
+            self._stash_scan(prep)
             k = info.registered_fid
             startup = k < o.init_num_frames
             dyn = self.registration.dynamics(self._effective_icp_options(info))
@@ -453,6 +480,7 @@ class Odometry:
                 assert info.registered_fid == self.registered_frames, \
                     "Prepared frames must be streamed in order"
                 self.registered_frames += 1
+                self._stash_scan(prep)
                 infos.append(info)
                 dyns.append(self.registration.dynamics(
                     self._effective_icp_options(info)))
@@ -532,6 +560,9 @@ class Odometry:
             tracker.insert_frame(k)
         else:
             tracker.skip_frame()
+        scan = self._pending_scans.pop(k, None)
+        if scan is not None and summary.points_added:
+            self.frame_ring.push(info.frame_id, scan[0], scan[1], frame)
 
         pos = frame.end_pose.tr
         if (allow_rebase
@@ -655,6 +686,7 @@ class Odometry:
             dyns, fss, ns = [], [], []
             for b, prep in enumerate(group):
                 info = prep["info"]
+                self._stash_scan(prep)
                 dyns.append(self.registration.dynamics(
                     self._effective_icp_options(info)))
                 fss.append(self._robust_frame_scalars(info))
@@ -884,6 +916,8 @@ class Odometry:
         self.suspect_registration_error = False
         self.next_robust_level = self.options.robust_minimal_level
         self.insertion_tracker = _InsertionTracker(self.options)
+        self.frame_ring.clear()
+        self._pending_scans.clear()
         self._prune_owed = False
         self.default_motion_model.reset()
 
@@ -1026,9 +1060,11 @@ class Odometry:
 
         self._fire_callbacks(Odometry.BEFORE_ITERATION, summary,
                              (kp_raw, kp_alphas, kp_valid))
-        icp = self.registration.register_device(
-            self.map_state, kp_raw, kp_alphas, kp_valid, summary.frame,
-            prior=prior, origin=self.origin, options=opts)
+        reg = (self.registration.register_profiled
+               if o.profile_registration
+               else self.registration.register_device)
+        icp = reg(self.map_state, kp_raw, kp_alphas, kp_valid, summary.frame,
+                  prior=prior, origin=self.origin, options=opts)
         summary.icp_summary = icp
         summary.success = icp.success
         summary.number_of_residuals = icp.num_residuals_used
@@ -1498,8 +1534,25 @@ class Odometry:
         self._compute_summary_metrics(summary, k)
         self._update_map_host(summary, world, sub_valid, k)
         self._maybe_rebase()
+        self._log_summary(summary)
         self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
         return summary
+
+    def _log_summary(self, summary: RegistrationSummary):
+        """Reference LogSummary (odometry.cpp:505-520): surface the ICP
+        phase durations as logged values."""
+        icp = summary.icp_summary
+        lv = summary.logged_values
+        lv["odometry_num_keypoints"] = float(summary.sample_size)
+        lv["icp_duration_neighborhood"] = (icp.avg_duration_neighborhood
+                                           * icp.num_iters)
+        lv["icp_duration_solve"] = icp.avg_duration_solve * icp.num_iters
+        lv["icp_total_duration"] = icp.duration_total
+        lv["icp_num_iters"] = float(icp.num_iters)
+        if self.options.debug_print:
+            print("[CT-ICP] Logged Values:")
+            for key in sorted(lv):
+                print(f" -- {key}: {lv[key]}")
 
     def _compute_summary_metrics(self, summary: RegistrationSummary, k: int):
         """Reference ComputeSummaryMetrics (odometry.cpp:978-988)."""

@@ -86,6 +86,7 @@ def test_backend_refinement_improves_or_preserves():
     assert max(errs) < 0.12, errs
 
 
+@pytest.mark.slow
 def test_ct_ba_pcg_matches_dense_coupled_solve(mesh):
     """One PCG outer iteration must equal the dense GN step on the full
     stacked system (same residual model, all keyframes coupled)."""

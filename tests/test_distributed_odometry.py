@@ -80,6 +80,7 @@ def test_distributed_matches_mesh_size_1():
         assert fa.end_pose.angular_distance(fb.end_pose) < 0.2
 
 
+@pytest.mark.slow
 def test_distributed_checkpoint_roundtrip(tmp_path):
     """Save/restore of the full distributed state: the restored instance
     continues a sequence identically to the uninterrupted one."""

@@ -216,6 +216,7 @@ def test_odometry_robust_escalation_exhaustion():
     assert len(odo.get_trajectory()) == 2
 
 
+@pytest.mark.slow
 def test_insertion_tracker_and_map_growth():
     acq = make_acquisition(seed=5)
     odo = Odometry(small_options())
@@ -256,6 +257,7 @@ def test_streaming_matches_register_frame():
         assert a.end_pose.angular_distance(b.end_pose) < 0.5
 
 
+@pytest.mark.slow
 def test_map_points_export_and_visibility():
     """GetMapPoints / GetVisibleMapPoints parity (reference map.h:354-407):
     exported points carry oriented normals, and the visible subset keeps

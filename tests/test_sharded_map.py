@@ -42,6 +42,7 @@ def test_moment_descriptor_matches_direct():
                                np.abs(np.asarray(d2.normal)), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_chip(mesh):
     rng = np.random.default_rng(1)
     pts = rng.uniform(-15, 15, (4000, 3)).astype(np.float32)

@@ -171,6 +171,7 @@ def test_failure_on_empty_map():
     assert not summary.success
 
 
+@pytest.mark.slow
 def test_robust_solver_classified_residuals(room):
     """ROBUST solver (reference DoRegisterRobust, ct_icp.cpp:1180-1370):
     classify neighborhoods, mixed residual types, outlier gating."""
@@ -225,6 +226,7 @@ def test_point_to_distribution_distance(room):
     assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.05
 
 
+@pytest.mark.slow
 def test_distance_based_strategy(room):
     """DistanceBasedStrategy (reference neighborhood_strategy.h:95-146):
     per-point search radius growing with sensor range + normal filter."""
@@ -308,6 +310,7 @@ def test_prediction_consistency_rows_match_reference_functors():
     np.testing.assert_allclose(rows, exp, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_prediction_consistency_model_constrains_registration(room):
     """A strong prediction-consistency prior pulls the solution toward the
     prediction when the point evidence is ambiguous, and the packed [41]

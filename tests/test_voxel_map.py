@@ -51,6 +51,7 @@ class TestInsert:
             d = np.linalg.norm(stored[i, :cnt[i]] - pts[i], axis=-1)
             assert d.min() < 1e-5
 
+    @pytest.mark.slow
     def test_min_distance_dedup(self):
         level = make_level()
         # two batches: the second too close to the first
@@ -59,12 +60,14 @@ class TestInsert:
         level, n3 = insert(level, np.array([[0.9, 0.5, 0.5]]), min_dist=0.2)
         assert (int(n1), int(n2), int(n3)) == (1, 0, 1)
 
+    @pytest.mark.slow
     def test_voxel_capacity(self):
         level = make_level(max_pts=4)
         pts = np.stack([np.linspace(0.1, 0.9, 10), np.full(10, .5), np.full(10, .5)], -1)
         level, n = insert(level, pts, min_dist=0.0)
         assert int(n) == 4
 
+    @pytest.mark.slow
     def test_same_voxel_batch_claims_one_slot(self):
         level = make_level()
         pts = np.tile(np.array([[3.3, 3.3, 3.3]]), (5, 1)) \
@@ -79,6 +82,7 @@ class TestInsert:
         assert int(n8) == 5
         assert (np.asarray(level8.keys) > 1).sum() == 1
 
+    @pytest.mark.slow
     def test_hash_collision_chain(self, rng):
         # force many voxels into a tiny table: still all found via probing
         level = vm.make_level(6, 4)  # 64 slots
@@ -93,6 +97,7 @@ class TestInsert:
 
 
 class TestRadiusSearch:
+    @pytest.mark.slow
     def test_self_nearest(self, rng):
         level = make_level()
         pts = rng.uniform(-10, 10, (300, 3))
@@ -104,6 +109,7 @@ class TestRadiusSearch:
         assert np.all(np.asarray(nmask)[:, 0])
         np.testing.assert_allclose(nd[:, 0], 0.0, atol=1e-5)
 
+    @pytest.mark.slow
     def test_radius_and_sorting(self, rng):
         level = make_level(max_pts=64)  # roomy: no per-voxel capacity drops
         base = np.array([5.0, 5.0, 5.0])
@@ -120,6 +126,7 @@ class TestRadiusSearch:
         np.testing.assert_allclose(nd[m], want[:m.sum()], atol=1e-5)
         assert np.all(np.diff(nd[m]) >= -1e-6)
 
+    @pytest.mark.slow
     def test_cross_voxel_neighbors(self):
         level = make_level()
         pts = np.array([[0.95, 0.5, 0.5], [1.05, 0.5, 0.5]])
@@ -142,6 +149,7 @@ class TestRadiusSearch:
 
 
 class TestNormals:
+    @pytest.mark.slow
     def test_plane_normals_computed_and_oriented(self, rng):
         level = make_level(max_pts=16)
         # flat ground plane z=0, sensor above at z=2 -> normals point up (+z)
@@ -160,6 +168,7 @@ class TestNormals:
 
 
 class TestPruneAndRebuild:
+    @pytest.mark.slow
     def test_prune_far(self, rng):
         level = make_level()
         near = rng.uniform(-5, 5, (100, 3))
@@ -176,6 +185,7 @@ class TestPruneAndRebuild:
         slots = np.asarray(vm.find_slots(level, jnp.asarray(coords)))
         assert np.all(slots < 0)
 
+    @pytest.mark.slow
     def test_insert_after_prune_reuses_tombstones(self, rng):
         level = vm.make_level(6, 4)
         pts = rng.uniform(-10, 10, (30, 3))
@@ -185,6 +195,7 @@ class TestPruneAndRebuild:
         level, n1 = insert(level, pts)
         assert int(n1) == int(n0)
 
+    @pytest.mark.slow
     def test_rebuild_shifts_and_preserves(self, rng):
         level = make_level()
         pts = rng.uniform(10, 30, (200, 3))
