@@ -55,19 +55,85 @@ def convert_structured_stream(arrays, output_dir, max_frames: int = -1,
     return i
 
 
+def bag_to_ply(bag_path, output_dir, topic=None, max_frames: int = -1,
+               pattern: str = "frame_{:05d}.ply") -> int:
+    """Convert a rosbag 2.0 file's PointCloud2 stream (+ optional Imu
+    stream) to the PLY_DIRECTORY layout — the direct analog of the
+    reference's rosbag_to_ply node (rosbag_to_ply.cxx:109-180): frame
+    clouds land in ``output_dir/frames/`` with per-point timestamps rebased
+    so the first cloud's minimum is 0 (the node's ``initial_pc_timestamp``),
+    clouds without a timestamp field get their header stamp relative to the
+    first message, and IMU samples go to ``output_dir/imu_data.ply`` (the
+    node's separate imu directory)."""
+    from ct_icp_tpu.io.rosbag import iter_imu, iter_pointclouds
+    from ct_icp_tpu.io.structured import structured_to_frame
+    from ct_icp_tpu.io.ply import write_ply
+
+    root = Path(output_dir)
+    out = root / "frames"
+    out.mkdir(parents=True, exist_ok=True)
+    i = 0
+    t0_header = None   # first message header stamp (initial_nano_seconds)
+    t0_points = None   # first cloud's min point timestamp
+    for stamp, arr in iter_pointclouds(bag_path, topic=topic):
+        if max_frames >= 0 and i >= max_frames:
+            break
+        xyz, ts = structured_to_frame(arr)
+        if t0_header is None:
+            t0_header = stamp
+        if ts is not None:
+            if t0_points is None:
+                t0_points = float(np.min(ts)) if len(ts) else stamp
+            ts = np.asarray(ts, np.float64) - t0_points
+        else:
+            ts = np.full(len(xyz), stamp - t0_header, np.float64)
+        write_ply_xyzt(out / pattern.format(i), np.asarray(xyz, np.float32),
+                       ts)
+        i += 1
+
+    imu = list(iter_imu(bag_path))
+    if imu and t0_header is not None:
+        write_ply(root / "imu_data.ply", {
+            "timestamp": np.array([s.stamp - t0_header for s in imu]),
+            "qx": np.array([s.orientation[0] for s in imu]),
+            "qy": np.array([s.orientation[1] for s in imu]),
+            "qz": np.array([s.orientation[2] for s in imu]),
+            "qw": np.array([s.orientation[3] for s in imu]),
+            "wx": np.array([s.angular_velocity[0] for s in imu]),
+            "wy": np.array([s.angular_velocity[1] for s in imu]),
+            "wz": np.array([s.angular_velocity[2] for s in imu]),
+            "ax": np.array([s.linear_acceleration[0] for s in imu]),
+            "ay": np.array([s.linear_acceleration[1] for s in imu]),
+            "az": np.array([s.linear_acceleration[2] for s in imu]),
+        })
+    return i
+
+
 def main(argv=None):
     from ct_icp_tpu.datasets.dataset import (Dataset, DatasetEnum,
                                              DatasetOptions)
     p = argparse.ArgumentParser(
-        description="Convert any supported dataset to a PLY directory "
-                    "(rosbag_to_ply analog)")
-    p.add_argument("--dataset", required=True,
+        description="Convert any supported dataset or a rosbag to a PLY "
+                    "directory (rosbag_to_ply analog)")
+    p.add_argument("--dataset", default=None,
                    help="Dataset type (NCLT, KITTI_raw, SYNTHETIC, ...)")
-    p.add_argument("--root-path", required=True)
+    p.add_argument("--bag", default=None,
+                   help="rosbag 2.0 file with PointCloud2 messages")
+    p.add_argument("--topic", default=None,
+                   help="PointCloud2 topic to convert (with --bag)")
+    p.add_argument("--root-path", default=None)
     p.add_argument("--sequence", default=None, help="Only this sequence")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--max-frames", type=int, default=-1)
     args = p.parse_args(argv)
+
+    if args.bag is not None:
+        n = bag_to_ply(args.bag, args.output_dir,
+                       topic=args.topic, max_frames=args.max_frames)
+        print(f"[{args.bag}] wrote {n} frames -> {args.output_dir}")
+        return 0 if n else 1
+    if args.dataset is None or args.root_path is None:
+        p.error("either --bag or --dataset + --root-path is required")
 
     ds = Dataset.load_dataset(DatasetOptions(
         dataset=DatasetEnum[args.dataset], root_path=args.root_path))
