@@ -22,3 +22,14 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("CT_FORCE_CPU"):
+    # Honor CT_FORCE_CPU for EVERY entry point (cli, regression, convert,
+    # tools, bare library use). Some environments register a remote
+    # accelerator PJRT plugin from sitecustomize and force jax_platforms
+    # there, clobbering a shell-level JAX_PLATFORMS=cpu; updating the
+    # config directly (before any backend initialization) wins.
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
