@@ -21,6 +21,14 @@ import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 1.0 / 0.0855
 
+# Hard accuracy gate: the bench exits nonzero if the mean APE over the
+# synthetic drive exceeds this bound. Pinned to current-best 0.0707 m
+# (2026-08-20, 48 frames, deterministic seed) + ~13 % headroom — tight
+# enough that a deliberate 20 % accuracy regression fails the bench
+# (round-1 verdict: APE drifted 0.07 -> 0.18 m under perf work with no
+# gate firing; this is the gate).
+APE_BOUND_M = 0.08
+
 
 def build_scene():
     from ct_icp_tpu.datasets import synthetic as syn
@@ -148,8 +156,14 @@ def main():
         "map_points": odo.map_size(),
         "mean_ape_m": round(ape, 4),
         "final_drift_m": round(float(errs[-1]), 4) if errs else None,
+        "accuracy_ok": bool(ape <= APE_BOUND_M),
+        "ape_bound_m": APE_BOUND_M,
     }
     print(json.dumps(result))
+    if not result["accuracy_ok"]:
+        print(f"ACCURACY GATE FAILED: mean APE {ape:.4f} m > "
+              f"bound {APE_BOUND_M} m", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,10 @@ class RegressionRun:
     sequence_name: str
     kitti_Tr: float = -1.0
     avg_runtime_sec: float = -1.0
+    #: mean absolute position error baseline (meters). The reference gates
+    #: only on Tr; synthetic scenes are too short for segment RPE to bite,
+    #: so APE is the teeth of the synthetic gate.
+    mean_ape_m: float = -1.0
     max_num_frames: int = -1
     init_frame: int = 0
 
@@ -47,6 +51,7 @@ class RegressionRun:
 class RegressionConfig:
     tolerance_tr: float = 1e-5           # reference regression_run.cxx:145
     tolerance_time_sec: float = 1e-3     # reference regression_run.cxx:146
+    tolerance_ape_m: float = 1e-3
     runs: List[RegressionRun] = dataclasses.field(default_factory=list)
     dataset_options: Optional[object] = None
     odometry_options: Optional[object] = None
@@ -59,11 +64,14 @@ def load_regression_config(path) -> RegressionConfig:
     cfg.tolerance_tr = float(root.get("tolerance_tr", cfg.tolerance_tr))
     cfg.tolerance_time_sec = float(
         root.get("tolerance_time_sec", cfg.tolerance_time_sec))
+    cfg.tolerance_ape_m = float(
+        root.get("tolerance_ape_m", cfg.tolerance_ape_m))
     for r in root.get("runs", []):
         cfg.runs.append(RegressionRun(
             sequence_name=str(r["sequence_name"]),
             kitti_Tr=float(r.get("kitti_Tr", -1.0)),
             avg_runtime_sec=float(r.get("avg_runtime_sec", -1.0)),
+            mean_ape_m=float(r.get("mean_ape_m", -1.0)),
             max_num_frames=int(r.get("max_num_frames", -1)),
             init_frame=int(r.get("init_frame", 0))))
     if "dataset_options" in root:
@@ -98,11 +106,16 @@ def run_regression(cfg: RegressionConfig, output_path: Optional[str] = None
             seq.set_max_num_frames(run.max_num_frames)
         result: SequenceResult = runner.run_sequence(seq, driving=driving)
         tr = result.metrics.mean_rpe if result.metrics else float("inf")
+        ape = result.metrics.mean_ape if result.metrics else float("inf")
         rt = result.avg_runtime_ms / 1e3
         ok = True
         if run.kitti_Tr >= 0 and tr > run.kitti_Tr + cfg.tolerance_tr:
             print(f"[regression] {run.sequence_name}: PRECISION regression "
                   f"Tr {tr:.4f}% > baseline {run.kitti_Tr:.4f}%")
+            ok = False
+        if run.mean_ape_m >= 0 and ape > run.mean_ape_m + cfg.tolerance_ape_m:
+            print(f"[regression] {run.sequence_name}: PRECISION regression "
+                  f"APE {ape:.4f}m > baseline {run.mean_ape_m:.4f}m")
             ok = False
         if run.avg_runtime_sec >= 0 and \
                 rt > run.avg_runtime_sec + cfg.tolerance_time_sec:
@@ -111,16 +124,18 @@ def run_regression(cfg: RegressionConfig, output_path: Optional[str] = None
             ok = False
         status = "OK" if ok else "FAILED"
         print(f"[regression] {run.sequence_name}: Tr={tr:.4f}% "
-              f"runtime={rt:.4f}s [{status}]")
+              f"APE={ape:.4f}m runtime={rt:.4f}s [{status}]")
         all_ok = all_ok and ok
         new_runs.append(RegressionRun(
             sequence_name=run.sequence_name, kitti_Tr=tr, avg_runtime_sec=rt,
+            mean_ape_m=ape,
             max_num_frames=run.max_num_frames, init_frame=run.init_frame))
 
     if output_path:
         out = {
             "tolerance_tr": cfg.tolerance_tr,
             "tolerance_time_sec": cfg.tolerance_time_sec,
+            "tolerance_ape_m": cfg.tolerance_ape_m,
             "runs": [dataclasses.asdict(r) for r in new_runs],
         }
         with open(output_path, "w") as f:

@@ -236,6 +236,16 @@ def test_regression_harness(tmp_path):
     cfg.tolerance_time_sec = 0.0
     assert not R.run_regression(cfg)
 
+    # an impossible APE baseline must FAIL the regression: this is the
+    # accuracy tooth of the synthetic gate (short synthetic runs have no
+    # RPE segments, so kitti_Tr alone can gate nothing — round-1 verdict)
+    cfg.runs[0].avg_runtime_sec = -1.0
+    measured_ape = updated["runs"][0]["mean_ape_m"]
+    assert measured_ape > 0.0
+    cfg.runs[0].mean_ape_m = measured_ape / 2.0  # a 2x APE regression
+    cfg.tolerance_ape_m = measured_ape / 10.0
+    assert not R.run_regression(cfg)
+
 
 @pytest.mark.slow
 def test_runner_survives_degenerate_frame(tmp_path):
