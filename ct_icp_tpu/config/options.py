@@ -256,6 +256,11 @@ class CTICPOptions:
     # nearest candidates via an adaptive histogram radius (restores the
     # reference's k-NN normal locality; False = whole-ball moments).
     knn_moments: bool = True
+    # analytic cross-product CT Jacobians (reference GN linearization,
+    # ct_icp.cpp:813-850) instead of exact autodiff through the slerp.
+    # Cheaper per LM iteration at large K; measured +18% APE on the driving
+    # bench, so OFF by default (exact autodiff = CERES-path parity).
+    analytic_jacobian: bool = False
     # candidate-plane cache policy (ball mode): fresh neighbor gathers for
     # the first N ICP iterations; later iterations re-score the cached
     # candidate planes unless the pose moved > voxel/2 since the last

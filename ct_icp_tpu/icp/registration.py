@@ -140,6 +140,7 @@ class CTICPRegistration:
             use_distance_strategy=distance_strategy is not None,
             ball_neighborhood=options.ball_neighborhood,
             knn_moments=options.knn_moments,
+            analytic_jacobian=options.analytic_jacobian,
             # candidate compaction: net-negative at 27 candidates (top_k
             # costs more than the smaller rescore saves) but decisive at
             # nv>=2 (125+ candidates, of which only the ~2D surface sheet is

@@ -138,6 +138,64 @@ def geometric_residuals(distance: IcpDistance, world, anchors, normals, lines,
     raise ValueError(f"Unknown distance {distance}")
 
 
+def geometric_residuals_and_grad(distance: IcpDistance, world, anchors,
+                                 normals, lines, cov_inv, weights):
+    """Residual rows [N, R] AND their gradient wrt the world point [N, R, 3].
+
+    The world-point gradient is the cheap half of an analytic continuous-time
+    Jacobian (reference DoRegisterGaussNewton, ct_icp.cpp:813-850): the chain
+    through the pose perturbation is a cross product (see
+    ct_jacobian_from_world_grad), so no autodiff through the per-point slerp
+    is needed.
+    """
+    diff = world - anchors
+    if distance == IcpDistance.POINT_TO_PLANE:
+        r = jnp.sum(diff * normals, axis=-1)
+        return (weights * r)[:, None], (weights[:, None] * normals)[:, None, :]
+    if distance == IcpDistance.POINT_TO_POINT:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=world.dtype),
+                               world.shape[:-1] + (3, 3))
+        return weights[:, None] * diff, weights[:, None, None] * eye
+    if distance == IcpDistance.POINT_TO_LINE:
+        d = lines / jnp.maximum(
+            jnp.linalg.norm(lines, axis=-1, keepdims=True), 1e-12)
+        c = jnp.cross(d, diff)
+        nc = jnp.sqrt(jnp.sum(c * c, axis=-1) + 1e-12)
+        r = weights * nc
+        # dr/dworld = (c/|c|)^T [d]x = -(d x c_hat)
+        g = -jnp.cross(d, c / nc[:, None])
+        return r[:, None], (weights[:, None] * g)[:, None, :]
+    if distance == IcpDistance.POINT_TO_DISTRIBUTION:
+        m = jnp.einsum("ni,nij,nj->n", diff, cov_inv, diff)
+        g = 2.0 * jnp.einsum("nij,nj->ni", cov_inv, diff)
+        return (weights * m)[:, None], (weights[:, None] * g)[:, None, :]
+    raise ValueError(f"Unknown distance {distance}")
+
+
+def ct_jacobian_from_world_grad(g, world, tb, te, alphas):
+    """[N, R, 12] continuous-time Jacobian from world-point gradients.
+
+    For the left-multiplicative so(3) x R^3 perturbation of apply_delta,
+    to first order (small inter-pose rotation, the approximation the
+    reference's GN path makes with its cross-product Jacobians,
+    ct_icp.cpp:813-850):
+
+        d world / d omega_b = -(1-a) [R p]x      d world / d tb = (1-a) I
+        d world / d omega_e = -a     [R p]x      d world / d te = a     I
+
+    so the rotation columns of each residual row are (1-a)/a times
+    cross(R p, g) and the translation columns (1-a)/a times g, where
+    R p = world - lerp(tb, te, a).
+    """
+    a = alphas[:, None, None]
+    t_interp = ((1.0 - alphas[:, None]) * tb[None, :]
+                + alphas[:, None] * te[None, :])
+    v = world - t_interp                                  # [N, 3] = R p
+    rot = jnp.cross(jnp.broadcast_to(v[:, None, :], g.shape), g)  # [N, R, 3]
+    return jnp.concatenate([(1.0 - a) * rot, (1.0 - a) * g,
+                            a * rot, a * g], axis=-1)
+
+
 def motion_prior_residuals(qb, tb, qe, te, prior, num_residuals):
     """The PreviousFrameMotionModel constraint rows
     (reference src/ct_icp/motion_model.cpp:12-61):

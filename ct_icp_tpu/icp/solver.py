@@ -84,6 +84,19 @@ class SolverStatics:
     # of this size at gather time (0 = keep all; see
     # vm.gather_candidate_planes). Driving stats: ~9 occupied of 27, p99=18.
     max_candidate_voxels: int = 0
+    # analytic continuous-time Jacobians for the geometric rows (the
+    # reference GN path's cross-product linearization, ct_icp.cpp:813-850)
+    # instead of 12-tangent jacfwd through the per-point slerp — measured
+    # ~3x cheaper per LM inner iteration at K=4096. The small-angle
+    # endpoint-transport approximation it makes is the same one the
+    # reference makes; the LM accept/reject (exact costs) guards it.
+    # Default OFF: at the bench's laddered shapes (K~1024) the inner loop
+    # is not the frame bottleneck, and the approximation measured +18% APE
+    # on the driving bench (0.0707 -> 0.0835 m) — exact autodiff is both
+    # the accuracy winner and the CERES-path parity choice. Enable for
+    # workloads with very large K / many LM iterations. Only honored for
+    # the non-ROBUST solvers; ROBUST always uses autodiff (mixed rows).
+    analytic_jacobian: bool = False
     # > 0: UNROLL the outer ICP loop to exactly this many iterations
     # (python-level, masked by convergence) instead of the lax.while_loop.
     # Gathers happen at statically known iterations, so the unrolled body
@@ -389,16 +402,44 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
         it = carry[0]
         return it < jnp.minimum(dyn.ls_max_num_iters, MAX_INNER_ITERS)
 
+    use_analytic = statics.analytic_jacobian and statics.solver != Solver.ROBUST
+
     def body(carry):
         it, q0, t0, q1, t1, lam, _ = carry
 
-        def rfun(d):
-            return _residual_vector(statics, dyn, d, raw, alphas, anchors,
-                                    normals, lines, cov_inv, geom_w, ok, cls,
-                                    q0, t0, q1, t1, prior, n_res)
+        if use_analytic:
+            # one world transform serves residual AND Jacobian; the pose
+            # chain collapses to cross products (no autodiff through slerp)
+            world = res.interp_world_points(q0, t0, q1, t1, raw, alphas)
+            r_geo, g = res.geometric_residuals_and_grad(
+                statics.distance, world, anchors, normals, lines, cov_inv,
+                geom_w)
+            r_geo = jnp.where(ok[:, None], r_geo, 0.0)
+            g = jnp.where(ok[:, None, None], g, 0.0)
+            jac_geo = res.ct_jacobian_from_world_grad(g, world, t0, t1,
+                                                      alphas)
 
-        r0 = rfun(zero)
-        jac = jax.jacfwd(rfun)(zero)              # [(rows), 12]
+            def prior_fun(d):
+                q0b, t0b, q1b, t1b = res.apply_delta(d, q0, t0, q1, t1)
+                rows = [res.motion_prior_residuals(q0b, t0b, q1b, t1b, prior,
+                                                   n_res)]
+                if "pred_begin_quat" in prior:
+                    rows.append(res.prediction_consistency_residuals(
+                        q0b, t0b, q1b, t1b, prior))
+                return jnp.concatenate(rows)
+
+            r0 = jnp.concatenate([r_geo.reshape(-1), prior_fun(zero)])
+            jac = jnp.concatenate([jac_geo.reshape(-1, 12),
+                                   jax.jacfwd(prior_fun)(zero)], axis=0)
+        else:
+            def rfun(d):
+                return _residual_vector(statics, dyn, d, raw, alphas,
+                                        anchors, normals, lines, cov_inv,
+                                        geom_w, ok, cls, q0, t0, q1, t1,
+                                        prior, n_res)
+
+            r0 = rfun(zero)
+            jac = jax.jacfwd(rfun)(zero)          # [(rows), 12]
         pr, _ = point_rows(r0)
         w_pts = res.irls_weight(statics.loss, pr * pr, dyn.ls_sigma,
                                 dyn.ls_tolerant_min_threshold)

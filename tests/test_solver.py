@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ct_icp_tpu.config.options import (CTICPOptions, MultiResolutionVoxelMapOptions,
                                        ResolutionParam, PoseParametrization)
+from ct_icp_tpu.config.options import IcpDistance
 from ct_icp_tpu.core import se3_np as s3n
 from ct_icp_tpu.core.pose import Pose, TrajectoryFrame
 from ct_icp_tpu.icp.registration import CTICPRegistration, make_prior
@@ -361,3 +362,93 @@ def test_debug_problem_outputs(room):
     np.testing.assert_allclose(nn, 1.0, atol=1e-3)
     assert np.abs(dbg["residuals"][ok]).mean() < 0.05
     assert (dbg["weights"][ok] > 0).all()
+
+
+@pytest.mark.parametrize("distance", [IcpDistance.POINT_TO_PLANE,
+                                      IcpDistance.POINT_TO_POINT,
+                                      IcpDistance.POINT_TO_LINE,
+                                      IcpDistance.POINT_TO_DISTRIBUTION])
+def test_analytic_ct_jacobian_matches_autodiff(distance):
+    """The cross-product CT Jacobian (reference ct_icp.cpp:813-850) must
+    match 12-tangent autodiff through the slerp to first order. With
+    identical begin/end quats the endpoint-transport approximation is exact,
+    so the match is tight; a small relative rotation bounds the error."""
+    import jax
+    from ct_icp_tpu.icp import residuals as res
+
+    rng = np.random.default_rng(5)
+    k = 64
+    raw = jnp.asarray(rng.uniform(-5, 5, (k, 3)).astype(np.float32))
+    alphas = jnp.asarray(rng.uniform(0, 1, k).astype(np.float32))
+    anchors = jnp.asarray((np.asarray(raw)
+                           + rng.normal(0, 0.05, (k, 3))).astype(np.float32))
+    normals = rng.normal(size=(k, 3))
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    normals = jnp.asarray(normals.astype(np.float32))
+    lines = jnp.asarray(rng.normal(size=(k, 3)).astype(np.float32))
+    a_mat = rng.normal(size=(k, 3, 3)).astype(np.float32)
+    cov_inv = jnp.asarray(a_mat @ a_mat.transpose(0, 2, 1)
+                          + 0.5 * np.eye(3, dtype=np.float32))
+    geom_w = jnp.asarray(rng.uniform(0.5, 1.0, k).astype(np.float32))
+
+    qb = jnp.asarray(s3n.quat_from_rotvec(np.array([0.0, 0.0, 0.01]))
+                     .astype(np.float32))
+    tb = jnp.asarray(np.array([0.1, -0.2, 0.05], np.float32))
+    qe = jnp.asarray(s3n.quat_from_rotvec(np.array([0.0, 0.002, 0.015]))
+                     .astype(np.float32))
+    te = jnp.asarray(np.array([0.9, -0.15, 0.07], np.float32))
+
+    def rfun(d):
+        q0, t0, q1, t1 = res.apply_delta(d, qb, tb, qe, te)
+        world = res.interp_world_points(q0, t0, q1, t1, raw, alphas)
+        r, _ = res.geometric_residuals_and_grad(
+            distance, world, anchors, normals, lines, cov_inv, geom_w)
+        return r.reshape(-1)
+
+    jac_ad = np.asarray(jax.jacfwd(rfun)(jnp.zeros(12, jnp.float32)))
+
+    world = res.interp_world_points(qb, tb, qe, te, raw, alphas)
+    r, g = res.geometric_residuals_and_grad(
+        distance, world, anchors, normals, lines, cov_inv, geom_w)
+    jac_an = np.asarray(res.ct_jacobian_from_world_grad(
+        g, world, tb, te, alphas)).reshape(jac_ad.shape)
+
+    scale = np.abs(jac_ad).max()
+    # translation columns are exact; rotation columns carry the O(theta_rel)
+    # transport error (theta_rel ~ 0.02 rad here)
+    np.testing.assert_allclose(jac_an[:, 3:6], jac_ad[:, 3:6],
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(jac_an[:, 9:12], jac_ad[:, 9:12],
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(jac_an, jac_ad, atol=0.03 * scale)
+
+
+def test_analytic_and_autodiff_solvers_agree(room):
+    """Full registration with analytic vs autodiff Jacobians must land on
+    the same pose (both drive the residual to the same fixed point)."""
+    opts = CTICPOptions(num_iters_icp=15, ls_max_num_iters=5,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6,
+                        min_number_neighbors=10)
+    results = []
+    for analytic in (True, False):
+        rng = np.random.default_rng(9)
+        gt = _gt_frame()
+        raw, ts = render_scan(rng, 800, gt)
+        reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024)
+        import ct_icp_tpu.icp.solver as slv
+        reg.statics = dataclasses.replace(reg.statics,
+                                          analytic_jacobian=analytic)
+        reg._fn = slv.jitted_register_fn(reg.statics)
+        init = TrajectoryFrame(
+            Pose(s3n.quat_from_rotvec(np.array([0, 0, np.deg2rad(0.5)])),
+                 np.array([0.05, -0.05, 0.02]), timestamp=0.0),
+            Pose(s3n.quat_from_rotvec(np.array([0, 0, np.deg2rad(1.0)])),
+                 np.array([0.2, 0.2, -0.03]), timestamp=1.0))
+        summary = reg.register(room, raw, ts, init)
+        assert summary.success
+        results.append(init)
+    a, b = results
+    assert np.linalg.norm(a.end_pose.tr - b.end_pose.tr) < 5e-3
+    assert np.linalg.norm(a.begin_pose.tr - b.begin_pose.tr) < 5e-3
+    assert a.end_pose.angular_distance(b.end_pose) < 0.05
