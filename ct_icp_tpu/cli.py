@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=-1)
     parser.add_argument("--output-dir", default=".outputs")
     parser.add_argument("--no-output", action="store_true")
+    parser.add_argument("--html-viewer", action="store_true",
+                        help="Write an interactive standalone viewer.html "
+                             "per sequence (map + trajectory; the viz3d "
+                             "window analog)")
     parser.add_argument("--trace-dir", default=None, metavar="DIR",
                         help="Capture a JAX profiler trace of the run into "
                              "DIR (open with TensorBoard / Perfetto) — the "
@@ -69,6 +73,8 @@ def main(argv=None):
         cfg.max_frames = args.max_frames
     if args.no_output:
         cfg.output_results = False
+    if args.html_viewer:
+        cfg.html_viewer = True
     cfg.output_dir = args.output_dir
 
     if not cfg.dataset_options:

@@ -135,6 +135,8 @@ class RunnerConfig:
     max_frames: int = -1
     use_outdoor_evaluation: bool = True
     save_mid_frame_trajectory: bool = True
+    #: write an interactive standalone viewer.html per sequence (viewer.py)
+    html_viewer: bool = False
 
 
 def load_runner_config(path: str) -> RunnerConfig:
@@ -147,7 +149,9 @@ def runner_config_from_node(root: Dict) -> RunnerConfig:
     cfg = RunnerConfig()
     for key in ("output_dir", "output_results", "generate_directory_prefix",
                 "progress_bar", "debug_information", "exit_early",
-                "compute_metrics_period", "max_frames"):
+                "compute_metrics_period", "max_frames",
+                "use_outdoor_evaluation", "save_mid_frame_trajectory",
+                "html_viewer"):
         if key in root:
             setattr(cfg, key, root[key])
     if "odometry_options" in root:

@@ -214,6 +214,13 @@ class OdometryRunner:
         save_poses_kitti_format(seq_dir / f"{name}.txt", mids)
         save_poses_as_ply(seq_dir / "trajectory.ply",
                           np.stack([p.tr for p in mids]))
+        if getattr(self.config, "html_viewer", False):
+            try:
+                from ct_icp_tpu.viewer import export_odometry_html
+                export_odometry_html(odo, seq_dir / "viewer.html",
+                                     title=f"{name} map")
+            except Exception as e:  # viewer must never kill the run
+                print(f"[{name}] viewer export failed: {e}", file=sys.stderr)
 
     def _write_metrics_yaml(self):
         metrics = {name: r.metrics for name, r in self.results.items()

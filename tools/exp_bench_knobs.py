@@ -30,8 +30,11 @@ def main():
 
     overrides = {}
     num_frames = 48
+    batch = 16
     for arg in sys.argv[1:]:
-        if "=" in arg:
+        if arg.startswith("batch="):
+            batch = int(arg.split("=")[1])
+        elif "=" in arg:
             k, v = arg.split("=", 1)
             overrides[k] = float(v) if "." in v else int(v)
         else:
@@ -62,7 +65,6 @@ def main():
                                  registered_fid=i, frame_id=i, upload=False,
                                  pad_rung=odo.options.max_scan_points)
 
-    batch = 16
     warmup = 2 * batch
     timed = 0
     t_start = None
@@ -83,7 +85,7 @@ def main():
                            - (first_gt.inverse() * fr["end_pose"]).tr)
             for est, fr in zip(odo.get_trajectory(), frames)]
     print(json.dumps({
-        "overrides": overrides, "frames": timed,
+        "overrides": overrides, "batch": batch, "frames": timed,
         "ms_per_frame": round(spf * 1e3, 2),
         "fps": round(1.0 / spf, 1),
         "mean_ape_m": round(float(np.mean(errs)), 4),
