@@ -84,6 +84,9 @@ def main():
     from ct_icp_tpu.datasets import synthetic as syn
     from ct_icp_tpu.odometry.odometry import Odometry
 
+    # 80 frames = 3 timed megastep bursts after the 2-burst warmup (enough
+    # for the median to reject one tunnel stall; the APE bound is pinned to
+    # this exact horizon — changing the count re-pins the gate)
     num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 80
 
     scene = build_scene()
@@ -122,6 +125,7 @@ def main():
     failures = 0
     timed = 0
     t_start = None
+    burst_ends = []  # wall time at the end of each post-warmup batch burst
     # prefetch worker: scan packing overlaps device compute
     from ct_icp_tpu.odometry.concurrent import PrefetchIterator
     prepared = PrefetchIterator(enumerate(frames), depth=2 * BATCH,
@@ -129,13 +133,24 @@ def main():
     for i, summary in enumerate(odo.stream_frames(prepared, batch=BATCH)):
         if i == warmup - 1:
             t_start = time.time()
+            burst_ends.append(t_start)
         elif i >= warmup:
             timed += 1
+            if (i + 1) % BATCH == 0:
+                burst_ends.append(time.time())
         if not summary.success:
             failures += 1
     sec_per_frame = ((time.time() - t_start) / timed
                      if timed else float("inf"))
-    fps = 1.0 / sec_per_frame
+    # primary metric: MEDIAN per-megastep frame time. The remote-TPU tunnel
+    # occasionally wedges for seconds (docs/PERF.md); one stall inside the
+    # timed window would misreport steady-state throughput by 2-10x. The
+    # median over per-batch durations measures the sustained rate; the
+    # wall-clock number is reported alongside.
+    bursts = np.diff(burst_ends)
+    med_spf = (float(np.median(bursts)) / BATCH if len(bursts)
+               else sec_per_frame)
+    fps = 1.0 / med_spf
 
     # accuracy vs the synthetic ground truth (estimate starts at GT frame 0)
     first_gt = frames[0]["begin_pose"]
@@ -150,7 +165,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 3),
-        "sec_per_frame": round(sec_per_frame, 4),
+        "sec_per_frame": round(med_spf, 4),
+        "wall_sec_per_frame": round(sec_per_frame, 4),
         "frames": timed,
         "failures": failures,
         "map_points": odo.map_size(),

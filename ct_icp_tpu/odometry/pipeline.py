@@ -25,8 +25,14 @@ import jax
 import jax.numpy as jnp
 
 from ct_icp_tpu.icp import residuals as res
+from ct_icp_tpu.icp import solver as _slv
 from ct_icp_tpu.mapping import voxel_map as vm
 from ct_icp_tpu.ops import sampling
+from ct_icp_tpu.ops import voxel as vx
+
+# index of max_num_residuals in the packed solver-dynamics vector (used by
+# the pre-gather keypoint decimation in _make_frame_core)
+_MNR_INDEX = _slv.SolverDynamics._fields.index("max_num_residuals")
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -217,7 +223,12 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
     resolutions = tuple(r.resolution for r in map_options.resolutions)
     min_dists = tuple(r.min_distance_between_points for r in map_options.resolutions)
     kp_capacity = statics.num_keypoints
-    kp_rungs = _rungs(kp_capacity, max(kp_capacity // 2, 1024))
+    # 3/8-capacity rung: the pre-gather residual-cap decimation (below)
+    # tops out at 1.5x max_num_residuals (1350 at the driving cap of 900),
+    # which must land UNDER a rung for the solver to shrink with it —
+    # 3/8 * 4096 = 1536 catches it (half-capacity 2048 does not)
+    kp_rungs = sorted({max((3 * kp_capacity // 8) // 128 * 128, 128),
+                       max(kp_capacity // 2, 1024), kp_capacity})
     registers = {sz: slv.build_register_fn(
         _dc.replace(statics, num_keypoints=sz)) for sz in kp_rungs}
 
@@ -245,6 +256,27 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
 
         kp_raw, kp_alphas, kp_valid, kp_cnt = _ladder(
             sub_cnt, sub_rungs, do_sample)
+
+        # ---- pre-gather residual-cap decimation. The solver keeps at most
+        # max_num_residuals rows by uniform-stride decimation over the valid
+        # keypoints (reference ICPOptimizationBuilder cap, ct_icp.cpp:148-456
+        # — a random subsample there); points the cap would discard anyway
+        # still pay the candidate gather, the biggest row-bound stage of the
+        # frame. Applying the SAME uniform-stride selection here, to 1.5x the
+        # cap (headroom for points that fail min_number_neighbors), lets the
+        # solver ladder run at half the keypoint rung. Pure reordering of an
+        # existing cap — disabled when the cap is (<= 0 = off).
+        mnr = dyn_packed[_MNR_INDEX].astype(jnp.int32)
+        target = jnp.where(mnr > 0, jnp.maximum((3 * mnr) // 2, 256),
+                           jnp.int32(1 << 30))
+        live = jnp.maximum(kp_cnt, 1)
+        t_eff = jnp.minimum(target, live)
+        pos = jnp.arange(kp_raw.shape[0], dtype=jnp.int32)
+        sel = (pos * t_eff) // live != ((pos - 1) * t_eff) // live
+        keep = kp_valid & jnp.where(kp_cnt > target, sel, True)
+        didx, dcnt, dvalid = vx.compact_mask(keep, kp_raw.shape[0])
+        kp_raw, kp_alphas = kp_raw[didx], kp_alphas[didx]
+        kp_valid, kp_cnt = dvalid, dcnt
 
         # do_register==0 (frame 0): zero solver iterations, poses pass through
         dyn_eff = jnp.where(
