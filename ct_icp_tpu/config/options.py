@@ -354,6 +354,11 @@ class OdometryOptions:
     # fixed-shape XLA program. Scans/keypoint sets are padded+masked to these.
     max_scan_points: int = 1 << 17        # raw scan capacity (KITTI HDL-64 ~130k)
     max_subsampled_points: int = 1 << 16  # after voxel-grid subsample
+    # voxel-dedup scans on the HOST (numpy, in the prefetch worker) and
+    # upload only the subsample: on a remote-TPU tunnel the scan upload
+    # binds streaming throughput (~14 ms/frame for 131k points), not device
+    # compute. The device grid subsample is idempotent on the deduped scan.
+    host_subsample: bool = True
     max_keypoints: int = 4096             # after grid sampling
     max_dirty_voxels: int = 1 << 15       # voxels touched per map insert
     # keep per-frame corrected world points on the host (for visualization /

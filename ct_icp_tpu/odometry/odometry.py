@@ -101,6 +101,22 @@ class _InsertionTracker:
         self.skipped_frames += 1
 
 
+def _host_voxel_dedup(xyz: np.ndarray, voxel_size: float,
+                      capacity: int) -> np.ndarray:
+    """First-occurrence-per-voxel indices, in scan order (numpy).
+
+    Host twin of ops.sampling.voxel_subsample_indices (same
+    truncation-toward-zero voxel coords, same first-in-scan-order winner,
+    reference sub_sample_frame ct_icp.cpp:64-83) but exact: np.unique
+    instead of a hash table, so distinct voxels never merge."""
+    c = np.trunc(xyz / voxel_size).astype(np.int64)
+    key = (((c[:, 0] & 0x1FFFFF) << 42) | ((c[:, 1] & 0x1FFFFF) << 21)
+           | (c[:, 2] & 0x1FFFFF))
+    _, first = np.unique(key, return_index=True)
+    first.sort()
+    return first[:capacity]
+
+
 def _sanitize_scan(xyz, timestamps):
     """Contiguous float64 copies with non-finite points dropped (real
     sensors emit NaN returns; quantizing them would plant garbage
@@ -208,6 +224,17 @@ class Odometry:
         so every scan compiles to ONE program shape — a mid-sequence rung
         flip costs a fresh multi-second XLA compile, which can dwarf the
         upload bytes it saves when scan sizes straddle a power of two.
+
+        With ``options.host_subsample`` (default), the voxel-grid dedup runs
+        HERE, in numpy, and only the ~1-point-per-voxel subsample rides the
+        wire: on a remote-TPU tunnel the scan upload — not device compute —
+        binds streaming throughput (measured 14 ms/frame for 131k-point
+        frames at the tunnel's ~74 MB/s effective rate vs ~8 ms of device
+        work), and the subsample is 6-10x fewer points. The device grid
+        subsample still runs, and is idempotent on a deduped scan, so the
+        device program is unchanged; the sole numeric difference is that
+        host dedup is exact while the device claim table merges ~0.1% of
+        voxels on hash collisions.
         """
         xyz, timestamps = _sanitize_scan(xyz, timestamps)
         info = FrameInfo(
@@ -222,6 +249,14 @@ class Odometry:
                 n, cap, replace=False)
             xyz, timestamps = xyz[sel], timestamps[sel]
             n = cap
+        if self.options.host_subsample:
+            o = self.options
+            v = (o.init_voxel_size
+                 if registered_fid < o.init_num_frames else o.voxel_size)
+            keep = _host_voxel_dedup(xyz, v, o.max_subsampled_points)
+            xyz, timestamps = xyz[keep], timestamps[keep]
+            n = xyz.shape[0]
+            cap = min(cap, o.max_subsampled_points)
         alphas = self._frame_alphas(timestamps, info)
         # quantized wire format, padded to the smallest upload rung — the
         # scan upload dominates wall time on bandwidth-limited device links
