@@ -129,7 +129,7 @@ def main():
     # prefetch worker: scan packing overlaps device compute
     from ct_icp_tpu.odometry.concurrent import PrefetchIterator
     prepared = PrefetchIterator(enumerate(frames), depth=2 * BATCH,
-                                transform=_prepare)
+                                transform=_prepare, workers=3)
     for i, summary in enumerate(odo.stream_frames(prepared, batch=BATCH)):
         if i == warmup - 1:
             t_start = time.time()

@@ -37,15 +37,23 @@ class BlockingQueue:
 class PrefetchIterator:
     """Wrap a frame iterator with a lookahead thread (reactor P3 analog).
 
-    ``transform`` runs in the background thread (e.g. padding + host->device
-    transfer) so the main loop only ever blocks on ready frames.
+    ``transform`` runs in the background (e.g. voxel dedup + padding +
+    host->device transfer) so the main loop only ever blocks on ready
+    frames. With ``workers > 1``, transforms run on a thread pool with
+    in-order delivery — numpy releases the GIL in the dedup sort, so the
+    per-frame host prep (~8 ms for a 100k scan) scales across cores and
+    stays off the streaming critical path.
     """
 
     def __init__(self, source: Iterable, depth: int = 2,
-                 transform: Optional[Callable] = None):
+                 transform: Optional[Callable] = None, workers: int = 1):
         self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._transform = transform
         self._exc: Optional[BaseException] = None
+        self._pool = None
+        if workers > 1 and transform is not None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=workers)
         self._thread = threading.Thread(
             target=self._worker, args=(iter(source),), daemon=True)
         self._thread.start()
@@ -53,7 +61,11 @@ class PrefetchIterator:
     def _worker(self, it: Iterator):
         try:
             for item in it:
-                if self._transform is not None:
+                if self._pool is not None:
+                    # bounded queue of futures = backpressure; consumer
+                    # resolves them in submission order
+                    item = self._pool.submit(self._transform, item)
+                elif self._transform is not None:
                     item = self._transform(item)
                 self._queue.put(item)
         except BaseException as e:  # surfaced on the consumer side
@@ -69,7 +81,11 @@ class PrefetchIterator:
         if item is _SENTINEL:
             if self._exc is not None:
                 raise self._exc
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
             raise StopIteration
+        if self._pool is not None:
+            return item.result()
         return item
 
 
