@@ -22,12 +22,12 @@ import numpy as np
 BASELINE_FRAMES_PER_SEC = 1.0 / 0.0855
 
 # Hard accuracy gate: the bench exits nonzero if the mean APE over the
-# synthetic drive exceeds this bound. Pinned to current-best 0.0707 m
-# (2026-08-20, 48 frames, deterministic seed) + ~13 % headroom — tight
-# enough that a deliberate 20 % accuracy regression fails the bench
-# (round-1 verdict: APE drifted 0.07 -> 0.18 m under perf work with no
-# gate firing; this is the gate).
-APE_BOUND_M = 0.08
+# synthetic drive exceeds this bound. Pinned to current-best 0.0593 m
+# (2026-08-21, 80 frames, deterministic — exact host-side dedup improved
+# it from 0.0707) + ~18 % headroom, so a deliberate 20 % accuracy
+# regression fails the bench (round-1 verdict: APE drifted 0.07 -> 0.18 m
+# under perf work with no gate firing; this is the gate).
+APE_BOUND_M = 0.07
 
 
 def build_scene():

@@ -351,37 +351,69 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
     far_enough = (ecount == 0) | (min_d2 > min_dist * min_dist)
     eligible = resolved & far_enough & (ecount < p)
 
-    rank, first_of_slot = _elect_ranks(slot, eligible, c, max_rounds)
-    eligible = eligible & (rank >= 0)
-    pos = ecount + rank
-    accept = eligible & (pos < p)
+    # ---- eligible compaction ladder: in steady state the min-distance
+    # check rejects most candidates (the subsample mostly re-visits already
+    # mapped voxels), so the election rounds and the point scatters run at
+    # the SURVIVOR count's rung, not the full batch shape (the election was
+    # the most expensive insert sub-stage at full shape: 1.5 of 2.3 ms).
+    # Early frames over new terrain take the full rung — exact either way.
+    n_pts = pts.shape[0]
+    e_idx, e_cnt, _ = vx.compact_mask(eligible, n_pts)
+    rungs = []
+    r = 2048
+    while r < n_pts:
+        rungs.append(r)
+        r *= 4
+    rungs.append(n_pts)
 
-    # rejected points get DISTINCT out-of-bounds sentinels (c*p*3 + 3i + k):
-    # unique_indices promises XLA every index is unique, and a shared
-    # sentinel would break that contract (undefined behavior if the
-    # compiler exploits it). Accepted indices are unique by construction
-    # (one (slot, pos) per accepted point).
-    pid3 = 3 * jnp.arange(pts.shape[0], dtype=jnp.int32)
-    base = jnp.where(accept, slot * (p * 3) + pos, c * p * 3 + pid3)
-    flat = level.points.reshape(-1)
-    # one fused scatter for all three coordinate planes: each extra scatter
-    # op on the [C, P*3] buffer pays a full-buffer copy whenever XLA cannot
-    # alias it in place (measured 4.4 ms per copy at level-0 scale)
-    off = jnp.where(accept, p, 1)
-    idx = jnp.concatenate([base, base + off, base + 2 * off])
-    val = jnp.concatenate([pts[:, 0], pts[:, 1], pts[:, 2]])
-    flat = flat.at[idx].set(val, mode="drop", unique_indices=True)
-    new_points = flat.reshape(c, p * 3)
-    add = jnp.zeros((c,), jnp.int32).at[jnp.where(accept, slot, c)].add(
-        1, mode="drop")
+    def insert_at(sz):
+        idx_e = e_idx[:sz]
+        ok_e = jnp.arange(sz, dtype=jnp.int32) < e_cnt
+        slot_e = jnp.where(ok_e, slot[idx_e], c)
+        rank_e, first_e = _elect_ranks(
+            jnp.clip(slot_e, 0, c - 1), ok_e, c, max_rounds)
+        pos_e = ecount[jnp.where(ok_e, idx_e, 0)] + rank_e
+        accept_e = ok_e & (rank_e >= 0) & (pos_e < p)
+
+        # rejected rows get DISTINCT out-of-bounds sentinels: unique_indices
+        # promises XLA every index is unique, and a shared sentinel would
+        # break that contract. Accepted indices are unique by construction
+        # (one (slot, pos) per accepted point).
+        pid3 = 3 * jnp.arange(sz, dtype=jnp.int32)
+        base = jnp.where(accept_e, slot_e * (p * 3) + pos_e, c * p * 3 + pid3)
+        flat = level.points.reshape(-1)
+        # one fused scatter for all three coordinate planes: each extra
+        # scatter op on the [C, P*3] buffer pays a full-buffer copy whenever
+        # XLA cannot alias it in place (measured 4.4 ms per copy)
+        off = jnp.where(accept_e, p, 1)
+        idx3 = jnp.concatenate([base, base + off, base + 2 * off])
+        pts_e = pts[jnp.where(ok_e, idx_e, 0)]
+        val = jnp.concatenate([pts_e[:, 0], pts_e[:, 1], pts_e[:, 2]])
+        flat = flat.at[idx3].set(val, mode="drop", unique_indices=True)
+        new_points = flat.reshape(c, p * 3)
+        add = jnp.zeros((c,), jnp.int32).at[
+            jnp.where(accept_e, slot_e, c)].add(1, mode="drop")
+        num_ins = jnp.sum(accept_e.astype(jnp.int32))
+        # dirty slots: first accepted point of each slot, compacted
+        dirty_e = accept_e & first_e
+        d_idx, _dc, d_ok = vx.compact_mask(dirty_e, max_dirty)
+        dslot = jnp.where(d_ok, slot_e[d_idx], c)
+        return new_points, add, num_ins, dslot
+
+    def ladder(i):
+        if i == len(rungs) - 1:
+            return lambda: insert_at(rungs[i])
+        return lambda: jax.lax.cond(e_cnt <= rungs[i],
+                                    lambda: insert_at(rungs[i]),
+                                    ladder(i + 1))
+
+    new_points, add, num_inserted, dirty_slots = ladder(0)()
     new_count = level.count + add
-    num_inserted = jnp.sum(accept.astype(jnp.int32))
 
     # ---- dirty-voxel normal recompute (reference map.h:209-235) ----
     if with_normals:
-        dirty_mark = accept & first_of_slot
-        didx, _dcount, dvalid = vx.compact_mask(dirty_mark, max_dirty)
-        dslot = jnp.where(dvalid, slot[didx], 0)
+        dvalid = dirty_slots < c
+        dslot = jnp.where(dvalid, dirty_slots, 0)
         dcnt = new_count[dslot]
         normal, bary = _voxel_plane_fit(new_points, new_count, dslot, p)
         # orient: flip if (barycenter - begin_tr) . normal > 0 (pointing away)
