@@ -53,6 +53,7 @@ def test_export_html_rejects_bad_shape(tmp_path):
         export_html(tmp_path / "v.html", np.zeros((5, 2)))
 
 
+@pytest.mark.slow
 def test_export_odometry_html(tmp_path):
     from ct_icp_tpu.viewer import export_odometry_html
     from tests.test_odometry import make_acquisition, small_options
@@ -71,6 +72,7 @@ def test_export_odometry_html(tmp_path):
     assert len(traj) == 3
 
 
+@pytest.mark.slow
 def test_runner_html_viewer_flag(tmp_path):
     from tests.test_odometry import make_acquisition, small_options
     from ct_icp_tpu.config.yaml_config import RunnerConfig
