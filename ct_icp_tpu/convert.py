@@ -65,7 +65,8 @@ def bag_to_ply(bag_path, output_dir, topic=None, max_frames: int = -1,
     clouds without a timestamp field get their header stamp relative to the
     first message, and IMU samples go to ``output_dir/imu_data.ply`` (the
     node's separate imu directory)."""
-    from ct_icp_tpu.io.rosbag import iter_imu, iter_pointclouds
+    import struct as _struct
+    from ct_icp_tpu.io.rosbag import (parse_imu, parse_pointcloud2, read_bag)
     from ct_icp_tpu.io.structured import structured_to_frame
     from ct_icp_tpu.io.ply import write_ply
 
@@ -75,9 +76,27 @@ def bag_to_ply(bag_path, output_dir, topic=None, max_frames: int = -1,
     i = 0
     t0_header = None   # first message header stamp (initial_nano_seconds)
     t0_points = None   # first cloud's min point timestamp
-    for stamp, arr in iter_pointclouds(bag_path, topic=topic):
+    imu = []
+    # ONE pass over the bag: clouds and IMU samples are collected together
+    # (the bag may be bz2-compressed — a second read would double the
+    # decompression cost), and IMU-only bags still get their samples out.
+    for msg in read_bag(bag_path):
+        if msg.msg_type == "sensor_msgs/Imu":
+            imu.append(parse_imu(msg.raw))
+            continue
+        if msg.msg_type and msg.msg_type != "sensor_msgs/PointCloud2":
+            continue
+        if topic is not None and msg.topic != topic:
+            continue
         if max_frames >= 0 and i >= max_frames:
-            break
+            continue  # keep draining for IMU samples
+        try:
+            pc = parse_pointcloud2(msg.raw)
+        except (ValueError, _struct.error, IndexError):
+            if msg.msg_type == "sensor_msgs/PointCloud2":
+                raise
+            continue  # untyped connection that wasn't a point cloud
+        stamp, arr = pc.stamp, pc.to_structured()
         xyz, ts = structured_to_frame(arr)
         if t0_header is None:
             t0_header = stamp
@@ -91,8 +110,10 @@ def bag_to_ply(bag_path, output_dir, topic=None, max_frames: int = -1,
                        ts)
         i += 1
 
-    imu = list(iter_imu(bag_path))
-    if imu and t0_header is not None:
+    if imu and t0_header is None:
+        # no clouds in the bag: rebase IMU to its own first sample
+        t0_header = imu[0].stamp
+    if imu:
         write_ply(root / "imu_data.ply", {
             "timestamp": np.array([s.stamp - t0_header for s in imu]),
             "qx": np.array([s.orientation[0] for s in imu]),

@@ -309,7 +309,9 @@ def iter_pointclouds(path, topic: Optional[str] = None
             continue
         try:
             pc = parse_pointcloud2(msg.raw)
-        except (ValueError, struct.error):
+        except (ValueError, struct.error, IndexError):
+            # IndexError: a truncated body can fail in _Cursor.u8 (bytes
+            # indexing) before any struct unpack runs
             if msg.msg_type == "sensor_msgs/PointCloud2":
                 raise
             continue  # untyped connection that wasn't a point cloud

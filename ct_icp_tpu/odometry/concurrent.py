@@ -51,7 +51,8 @@ class PrefetchIterator:
         self._transform = transform
         self._exc: Optional[BaseException] = None
         self._pool = None
-        if workers > 1 and transform is not None:
+        self._pooled = workers > 1 and transform is not None
+        if self._pooled:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(max_workers=workers)
         self._thread = threading.Thread(
@@ -81,12 +82,35 @@ class PrefetchIterator:
         if item is _SENTINEL:
             if self._exc is not None:
                 raise self._exc
-            if self._pool is not None:
-                self._pool.shutdown(wait=False)
+            self.close()
             raise StopIteration
-        if self._pool is not None:
+        if self._pooled:
             return item.result()
         return item
+
+    def close(self):
+        """Release the transform pool. Safe to call more than once.
+
+        Consumers that abandon iteration early (exception mid-stream)
+        should call this — or use the context-manager form — so the
+        non-daemon pool threads don't linger until interpreter exit.
+        """
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class Notifier:

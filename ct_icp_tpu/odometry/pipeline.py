@@ -266,6 +266,14 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
         # cap (headroom for points that fail min_number_neighbors), lets the
         # solver ladder run at half the keypoint rung. Pure reordering of an
         # existing cap — disabled when the cap is (<= 0 = off).
+        # Caveat (sparse/degraded scenes): the reference caps over
+        # POST-gather valid points; with 1.5x headroom, if more than ~1/3
+        # of the pre-selected keypoints later fail the
+        # min_number_neighbors/outlier gates, the solver sees fewer than
+        # max_num_residuals rows where the reference would have back-filled
+        # from the discarded pool. A/B on the bench scene: no measurable
+        # APE change (dense scans); revisit the 1.5x factor if a sparse
+        # dataset regresses.
         mnr = dyn_packed[_MNR_INDEX].astype(jnp.int32)
         target = jnp.where(mnr > 0, jnp.maximum((3 * mnr) // 2, 256),
                            jnp.int32(1 << 30))
