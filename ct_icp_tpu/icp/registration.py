@@ -131,6 +131,10 @@ class CTICPRegistration:
             solver=options.solver,
             parametrization=options.parametrization,
             num_closest_neighbors=options.num_closest_neighbors,
+            # kc>1 anchors residuals at the i-th nearest neighbor — that
+            # needs the sorted neighbor list, so the ball fast path flips
+            # off (reference parity mode); build_register_fn raises on any
+            # remaining unsupported combination (no silent degrade to 1)
             use_normal_filter=(
                 distance_strategy is not None
                 and map_options.select_valid_normals_direction),
@@ -138,7 +142,8 @@ class CTICPRegistration:
             use_lines=options.use_lines,
             use_distribution=options.use_distribution,
             use_distance_strategy=distance_strategy is not None,
-            ball_neighborhood=options.ball_neighborhood,
+            ball_neighborhood=(options.ball_neighborhood
+                               and options.num_closest_neighbors <= 1),
             knn_moments=options.knn_moments,
             analytic_jacobian=options.analytic_jacobian,
             # candidate compaction: net-negative at 27 candidates (top_k

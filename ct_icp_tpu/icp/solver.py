@@ -62,6 +62,11 @@ class SolverStatics:
     loss: LeastSquares = LeastSquares.CAUCHY
     solver: Solver = Solver.CERES
     parametrization: PoseParametrization = PoseParametrization.CONTINUOUS_TIME
+    # k residuals per keypoint, anchored at its k nearest neighbors with a
+    # shared normal/weight (reference CERES builder, ct_icp.cpp:554,593-604).
+    # >1 requires the exact k-NN neighborhood (the sorted neighbor list) and
+    # the CERES solver — build_register_fn raises otherwise: a config that
+    # asks for k residuals must never silently degrade to 1.
     num_closest_neighbors: int = 1
     use_normal_filter: bool = False
     # ROBUST solver statics (reference ct_icp.h:139-141)
@@ -266,6 +271,15 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
         desc = compute_description(neigh, nmask, world)
         closest = neigh[:, 0, :]
         closest_dist = jnp.where(nmask[:, 0], nd[:, 0], 0.0)
+        if statics.num_closest_neighbors > 1:
+            # k residuals per keypoint: anchor i = i-th nearest neighbor,
+            # shared normal/weight (reference ct_icp.cpp:593-604). anchors
+            # become [K, kc, 3]; ok becomes [K, kc] (row i live only when
+            # neighbor i exists). neigh rows are distance-sorted by
+            # radius_search, matching the reference's priority-queue order.
+            kc = statics.num_closest_neighbors
+            multi_anchors = neigh[:, :kc, :]
+            multi_ok = ok[:, None] & nmask[:, :kc]
     geom_w = res.ceres_path_weights(
         desc.a2D, closest_dist, dyn.power_planarity, dyn.weight_alpha,
         dyn.weight_neighborhood, dyn.max_dist_to_plane,
@@ -315,18 +329,24 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
         cov_inv = jnp.linalg.inv(
             desc.covariance + eps * jnp.eye(3, dtype=raw.dtype))
 
+    if (not statics.ball_neighborhood
+            and statics.num_closest_neighbors > 1):
+        anchors, ok = multi_anchors, multi_ok
+
     # cap the number of residuals (reference max_num_residuals,
     # ICPOptimizationBuilder ct_icp.cpp:148-456). The reference caps a
     # randomly-shuffled keypoint order; our keypoints arrive voxel-sorted, so
     # a first-N cap would select a spatially-biased blob — decimate with a
-    # uniform stride over the valid points instead.
-    n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)
+    # uniform stride over the valid points instead. (Shape-agnostic: ok may
+    # be [K] or [K, kc] in the multi-anchor mode.)
+    ok_flat = ok.reshape(-1)
+    n_ok = jnp.maximum(jnp.sum(ok_flat.astype(jnp.int32)), 1)
     cap = jnp.where(dyn.max_num_residuals > 0, dyn.max_num_residuals,
                     jnp.int32(1 << 30))
-    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    rank = jnp.cumsum(ok_flat.astype(jnp.int32)) - 1
     cap_c = jnp.minimum(cap, n_ok)
     sel = (rank * cap_c) // n_ok != ((rank - 1) * cap_c) // n_ok
-    ok = ok & jnp.where(n_ok > cap, sel, True)
+    ok = (ok_flat & jnp.where(n_ok > cap, sel, True)).reshape(ok.shape)
 
     return (anchors, desc.normal, desc.line, cov_inv, geom_w, ok, cls,
             cached_planes)
@@ -363,10 +383,21 @@ def _residual_vector(statics, dyn, delta, raw, alphas, anchors, normals, lines,
         r_scalar3 = jnp.stack(
             [scalar, jnp.zeros_like(scalar), jnp.zeros_like(scalar)], axis=-1)
         geo = jnp.where((cls > 0)[:, None], r_scalar3, r_other3)
+    elif statics.num_closest_neighbors > 1 and anchors.ndim == 3:
+        # expand to one row per (keypoint, i-th neighbor): repeat the
+        # keypoint-indexed arrays kc times, flatten the anchor axis
+        kc = statics.num_closest_neighbors
+        kk = world.shape[0]
+        geo = res.geometric_residuals(
+            statics.distance,
+            jnp.repeat(world, kc, axis=0), anchors.reshape(kk * kc, 3),
+            jnp.repeat(normals, kc, axis=0), jnp.repeat(lines, kc, axis=0),
+            None if cov_inv is None else jnp.repeat(cov_inv, kc, axis=0),
+            jnp.repeat(geom_w, kc, axis=0))
     else:
         geo = res.geometric_residuals(
             statics.distance, world, anchors, normals, lines, cov_inv, geom_w)
-    geo = jnp.where(ok[:, None], geo, 0.0).reshape(-1)
+    geo = jnp.where(ok.reshape(-1)[:, None], geo, 0.0).reshape(-1)
     pri = res.motion_prior_residuals(qb2, tb2, qe2, te2, prior, n_res)
     rows = [geo, pri]
     if "pred_begin_quat" in prior:
@@ -383,6 +414,8 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
     n_res = jnp.sum(ok.astype(jnp.int32))
     nrows = k * (3 if (statics.distance == IcpDistance.POINT_TO_POINT
                        or statics.solver == Solver.ROBUST) else 1)
+    if statics.num_closest_neighbors > 1:
+        nrows *= statics.num_closest_neighbors
 
     def point_rows(vec):
         return vec[:nrows], vec[nrows:]
@@ -402,7 +435,9 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
         it = carry[0]
         return it < jnp.minimum(dyn.ls_max_num_iters, MAX_INNER_ITERS)
 
-    use_analytic = statics.analytic_jacobian and statics.solver != Solver.ROBUST
+    use_analytic = (statics.analytic_jacobian
+                    and statics.solver != Solver.ROBUST
+                    and statics.num_closest_neighbors <= 1)
 
     def body(carry):
         it, q0, t0, q1, t1, lam, _ = carry
@@ -529,6 +564,22 @@ def build_register_fn(statics: SolverStatics):
     (one transfer each per call). Safe to wrap in jax.jit (all control flow
     is lax).
     """
+    if statics.num_closest_neighbors > 1:
+        # never a silent degrade-to-1: unsupported combinations fail here
+        if statics.ball_neighborhood:
+            raise ValueError(
+                "num_closest_neighbors > 1 needs the sorted neighbor list: "
+                "set ball_neighborhood=False (CTICPRegistration flips this "
+                "automatically when building statics from options)")
+        if statics.solver != Solver.CERES:
+            raise ValueError(
+                "num_closest_neighbors > 1 is a CERES-builder feature "
+                "(reference ct_icp.cpp:554); the GN/ROBUST paths never emit "
+                "k residuals per keypoint")
+        if statics.max_neighbors < statics.num_closest_neighbors:
+            raise ValueError(
+                f"num_closest_neighbors={statics.num_closest_neighbors} "
+                f"exceeds max_number_neighbors={statics.max_neighbors}")
 
     def register(level, raw, alphas, valid, qb, tb, qe, te, prior, dyn):
         if not isinstance(dyn, SolverDynamics):

@@ -193,6 +193,7 @@ def test_robust_solver_classified_residuals(room):
     assert init.end_pose.angular_distance(gt.end_pose) < 0.2
 
 
+@pytest.mark.slow
 def test_gn_solver(room):
     from ct_icp_tpu.config.options import Solver
     rng = np.random.default_rng(41)
@@ -210,6 +211,7 @@ def test_gn_solver(room):
     assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.03
 
 
+@pytest.mark.slow
 def test_point_to_distribution_distance(room):
     from ct_icp_tpu.config.options import IcpDistance
     rng = np.random.default_rng(51)
@@ -364,6 +366,7 @@ def test_debug_problem_outputs(room):
     assert (dbg["weights"][ok] > 0).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("distance", [IcpDistance.POINT_TO_PLANE,
                                       IcpDistance.POINT_TO_POINT,
                                       IcpDistance.POINT_TO_LINE,
@@ -423,6 +426,7 @@ def test_analytic_ct_jacobian_matches_autodiff(distance):
     np.testing.assert_allclose(jac_an, jac_ad, atol=0.03 * scale)
 
 
+@pytest.mark.slow
 def test_analytic_and_autodiff_solvers_agree(room):
     """Full registration with analytic vs autodiff Jacobians must land on
     the same pose (both drive the residual to the same fixed point)."""
@@ -452,3 +456,50 @@ def test_analytic_and_autodiff_solvers_agree(room):
     assert np.linalg.norm(a.end_pose.tr - b.end_pose.tr) < 5e-3
     assert np.linalg.norm(a.begin_pose.tr - b.begin_pose.tr) < 5e-3
     assert a.end_pose.angular_distance(b.end_pose) < 0.05
+
+
+@pytest.mark.slow
+def test_num_closest_neighbors_k_residuals(room):
+    """kc>1 emits k residuals per keypoint anchored at the k nearest
+    neighbors (reference ct_icp.cpp:554,593-604) and still recovers the
+    pose; unsupported combinations raise instead of degrading to 1."""
+    from ct_icp_tpu.config.options import Solver
+    from ct_icp_tpu.icp import solver as slv
+
+    rng = np.random.default_rng(21)
+    gt = _gt_frame()
+    raw, ts = render_scan(rng, 800, gt)
+
+    opts = CTICPOptions(num_iters_icp=12, ls_max_num_iters=5,
+                        threshold_orientation_norm=1e-5,
+                        threshold_translation_norm=1e-6,
+                        min_number_neighbors=10,
+                        num_closest_neighbors=2)
+    reg = CTICPRegistration(opts, MAP_OPTIONS, num_keypoints=1024)
+    # the builder must have flipped to the exact k-NN neighborhood
+    assert not reg.statics.ball_neighborhood
+    assert reg.statics.num_closest_neighbors == 2
+
+    init = TrajectoryFrame(
+        Pose(s3n.quat_from_rotvec(np.array([0, 0, np.deg2rad(0.5)])),
+             np.array([0.05, -0.05, 0.02]), timestamp=0.0),
+        Pose(s3n.quat_from_rotvec(np.array([0, 0, np.deg2rad(1.0)])),
+             np.array([0.2, 0.2, -0.03]), timestamp=1.0))
+    summary = reg.register(room, raw, ts, init)
+    assert summary.success
+    # n_res counts residual ROWS: with kc=2 the used count must exceed the
+    # single-anchor keypoint population (spot check the mode is really on)
+    assert summary.num_residuals_used > 800
+    assert np.linalg.norm(init.end_pose.tr - gt.end_pose.tr) < 0.02
+    assert init.end_pose.angular_distance(gt.end_pose) < 0.15
+
+    # unsupported combos fail loudly at build time
+    with pytest.raises(ValueError, match="ball_neighborhood"):
+        slv.build_register_fn(dataclasses.replace(
+            reg.statics, ball_neighborhood=True))
+    with pytest.raises(ValueError, match="CERES"):
+        slv.build_register_fn(dataclasses.replace(
+            reg.statics, solver=Solver.ROBUST))
+    with pytest.raises(ValueError, match="max_number_neighbors"):
+        slv.build_register_fn(dataclasses.replace(
+            reg.statics, max_neighbors=1))
