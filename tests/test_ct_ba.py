@@ -40,6 +40,7 @@ def test_ct_ba_converges_to_gt(mesh):
     assert np.all(dots > 1.0 - 1e-5)
 
 
+@pytest.mark.slow
 def test_ct_ba_sharding_invariance(mesh):
     # the same problem on a 1-shard mesh gives (nearly) the same answer
     rng = np.random.default_rng(5)
@@ -59,7 +60,7 @@ def test_ct_ba_sharding_invariance(mesh):
 
 
 @pytest.mark.slow
-def test_backend_refinement_improves_or_preserves():
+def test_backend_refinement_preserves_accuracy():
     from tests.test_odometry import make_acquisition, small_options
     from ct_icp_tpu.odometry.backend import CTBABackend
     from ct_icp_tpu.odometry.odometry import Odometry
@@ -118,8 +119,8 @@ def test_ct_ba_pcg_matches_dense_coupled_solve(mesh):
             w = 0.0 if f == num_frames - 1 else 1.0
             nf = (f + 1) % num_frames
             rows.append(ct_ba._edge_residuals(
-                deltas[f], deltas[nf], qe[f], te[f], qb[nf], tb[nf],
-                w, 1.0))
+                deltas[f], deltas[nf], qb[f], tb[f], qe[f], te[f],
+                jnp.float32(1.0), qb[nf], tb[nf], w, 1.0))
         return jnp.concatenate(rows)
 
     zero = jnp.zeros((num_frames, 12), jnp.float32)
@@ -141,6 +142,7 @@ def test_ct_ba_pcg_matches_dense_coupled_solve(mesh):
                                np.asarray(exp[1]), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ct_ba_pcg_converges_no_worse_than_jacobi(mesh):
     rng = np.random.default_rng(17)
     state, problem, (gt_q, gt_tr) = ct_ba.build_synthetic_problem(
@@ -159,3 +161,60 @@ def test_ct_ba_pcg_converges_no_worse_than_jacobi(mesh):
     assert pose_err(sp) <= pose_err(sj) * 1.2 + 1e-6
     # and the coupled solve actually lands near GT after two outer iters
     assert pose_err(sp) < 0.01, pose_err(sp)
+
+
+def test_backend_options_yaml_surface():
+    """backend {enabled, window, period, ...} is reachable from YAML."""
+    from ct_icp_tpu.config.yaml_config import yaml_to_odometry_options
+    opts = yaml_to_odometry_options({
+        "backend": {"enabled": True, "window": 5, "period": 4,
+                    "num_steps": 3, "replay": False}})
+    assert opts.backend.enabled
+    assert opts.backend.window == 5
+    assert opts.backend.period == 4
+    assert opts.backend.num_steps == 3
+    assert not opts.backend.replay
+    # default profiles keep it off
+    assert not yaml_to_odometry_options({}).backend.enabled
+
+
+@pytest.mark.slow
+def test_backend_on_beats_backend_off_under_degraded_odometry():
+    """With a deliberately under-converged front-end (2 ICP iterations,
+    1 LM step), enabling the CT-BA backend from OPTIONS (the config
+    surface) must measurably reduce trajectory error vs backend-off —
+    refinements must propagate into the map (replay) to compound."""
+    import dataclasses
+    from tests.test_odometry import make_acquisition, small_options
+    from ct_icp_tpu.config.options import BackendOptions
+    from ct_icp_tpu.odometry.odometry import Odometry
+
+    def run(enabled):
+        acq = make_acquisition(seed=47, noise=0.005)
+        opts = small_options()
+        opts = dataclasses.replace(
+            opts,
+            ct_icp_options=dataclasses.replace(
+                opts.ct_icp_options, num_iters_icp=2, ls_max_num_iters=1),
+            backend=BackendOptions(enabled=enabled, window=6, period=3,
+                                   num_steps=2))
+        odo = Odometry(opts)
+        gt_ends = []
+        for i in range(15):
+            fr = acq.frame(i)
+            s = odo.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+            assert s.success
+            gt_ends.append(fr["end_pose"])
+        traj = odo.get_trajectory()
+        first_gt, first_est = gt_ends[0], traj[0].end_pose
+        errs = [ (first_gt.inverse() * gt).location_distance(
+                  first_est.inverse() * est.end_pose)
+                 for est, gt in zip(traj[1:], gt_ends[1:]) ]
+        return float(np.mean(errs)), odo
+
+    ape_off, _ = run(False)
+    ape_on, odo = run(True)
+    assert odo.backend is not None
+    assert odo.backend.refinements >= 2
+    # the backend must IMPROVE the degraded trajectory, not merely not hurt
+    assert ape_on < ape_off * 0.8, (ape_on, ape_off)

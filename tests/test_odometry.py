@@ -283,6 +283,7 @@ def test_map_points_export_and_visibility():
     assert vis.shape[0] <= oriented.shape[0] < pn.shape[0]
 
 
+@pytest.mark.slow
 def test_degenerate_scans_are_handled():
     """Non-finite returns are dropped before quantization; empty scans
     raise; a hopeless 1-point scan fails the registration rather than

@@ -113,6 +113,7 @@ def write_kitti_raw_fixture(root, num_frames=NUM_FRAMES):
     return acq
 
 
+@pytest.mark.slow
 def test_kitti_raw_fixture_through_cli(tmp_path):
     root = tmp_path / "kitti_raw"
     write_kitti_raw_fixture(root)

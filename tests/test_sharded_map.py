@@ -83,6 +83,7 @@ def test_sharded_matches_single_chip(mesh):
                                np.asarray(d_direct.covariance), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_prune(mesh):
     rng = np.random.default_rng(2)
     near = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
