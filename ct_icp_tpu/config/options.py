@@ -272,6 +272,33 @@ class CTICPOptions:
 # ----------------------------------------------------------------- odometry —
 
 @dataclasses.dataclass(frozen=True)
+class BackendOptions:
+    """Sliding-window CT bundle-adjustment backend (odometry/backend.py).
+
+    A capability beyond the reference (which has no backend thread): every
+    ``period`` registered frames, jointly refine the last ``window``
+    keyframes' begin/end poses against the current map with the distributed
+    CT-BA step (parallel/ct_ba.py), then — when ``replay`` — re-point the
+    retained frame clouds at the refined poses and replay them into the map
+    (evict + re-insert), so refinements compound instead of being overwritten
+    by the next insert. Requires map_options.max_frames_to_keep >= window
+    for replay to cover the refined frames.
+    """
+
+    enabled: bool = False
+    window: int = 8          # keyframes jointly refined
+    period: int = 8          # refine every N registered frames
+    num_steps: int = 2       # outer CT-BA steps per refinement
+    keep_first_frames: int = 2   # anchor frames never refined
+    replay: bool = True      # propagate refined poses into the map
+    # weighting (see odometry/backend.py make_assemble_fn): pose-anchor
+    # prior weight (pins the point-to-plane tangential null space) and
+    # continuity-edge beta, both absolute vs a point block of strength 10
+    prior_weight: float = 1.5
+    continuity_beta: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
 class OdometryOptions:
     """Reference OdometryOptions (odometry.h:32-157), same defaults."""
 
@@ -348,6 +375,10 @@ class OdometryOptions:
     default_motion_model: MotionModelOptions = dataclasses.field(
         default_factory=MotionModelOptions)
     with_default_motion_model: bool = True
+
+    # sliding-window CT-BA backend (off by default, like every capability
+    # the reference's shipped profiles don't enable)
+    backend: BackendOptions = dataclasses.field(default_factory=BackendOptions)
 
     # ------------------------------------------------ TPU shape configuration —
     # Static capacities that turn the dynamic-size reference pipeline into a

@@ -95,6 +95,9 @@ def yaml_to_odometry_options(node: Dict) -> O.OdometryOptions:
     if "adaptive_options" in node:
         updates["adaptive_options"] = _fill_dataclass(
             O.AdaptiveGridSamplingOptions, node["adaptive_options"])
+    if "backend" in node:
+        updates["backend"] = _fill_dataclass(
+            O.BackendOptions, node["backend"])
     return dataclasses.replace(opts, **updates)
 
 
@@ -189,6 +192,15 @@ def synthetic_scene_from_node(node) -> "object":
         elif ptype in ("box_room", "room"):
             prims.extend(syn.box_room(float(p.get("half_extent", 10.0)),
                                       float(p.get("height", 4.0))))
+        elif ptype == "city_blocks":
+            prims.extend(syn.city_blocks(
+                nx=int(p.get("nx", 5)), ny=int(p.get("ny", 3)),
+                block=float(p.get("block", 40.0)),
+                street=float(p.get("street", 14.0)),
+                height=float(p.get("height", 8.0)),
+                relief_every=float(p.get("relief_every", 8.0)),
+                n_obstacles=int(p.get("n_obstacles", 60)),
+                seed=int(p.get("seed", 0))))
         else:
             raise ValueError(f"Unknown primitive type {ptype}")
     return syn.Scene(prims)
@@ -211,6 +223,14 @@ def synthetic_sequence_from_yaml(path: str):
             num_poses=int(tnode.get("num_poses", 200)),
             total_time=float(tnode.get("total_time", 10.0)),
             angle_span=float(tnode.get("angle_span", 2 * np.pi)))
+    elif ttype == "drive":
+        traj = syn.waypoint_drive_trajectory(
+            tnode["waypoints"],
+            speed_profile=tnode.get("speed_profile"),
+            height=float(tnode.get("height", 1.7)),
+            pose_rate=float(tnode.get("pose_rate", 20.0)),
+            corner_radius=float(tnode.get("corner_radius", 4.0)),
+            max_accel=float(tnode.get("max_accel", 2.5)))
     else:
         raise ValueError(f"Unknown trajectory type {ttype}")
     acq_node = root.get("acquisition", {})
@@ -219,7 +239,8 @@ def synthetic_sequence_from_yaml(path: str):
         frame_duration=float(acq_node.get("frame_duration", 0.1)),
         max_range=float(acq_node.get("max_range", 100.0)),
         min_range=float(acq_node.get("min_range", 0.5)),
-        noise_sigma=float(acq_node.get("noise_sigma", 0.0)))
+        noise_sigma=float(acq_node.get("noise_sigma", 0.0)),
+        windowed=bool(acq_node.get("windowed", False)))
     acq = syn.SyntheticSensorAcquisition(scene, traj, opts,
                                          seed=int(root.get("seed", 0)))
     return SyntheticSequence(acq)

@@ -478,6 +478,38 @@ def recompute_level_normals(level: MapLevel, location):
         nflags=jnp.where(ok, 2, level.nflags))
 
 
+def evict_voxels(level: MapLevel, coords, valid):
+    """Empty the voxels at ``coords`` [M, 3] (valid-masked) without
+    unclaiming their table slots.
+
+    Counts drop to 0 but keys stay claimed, so (a) open-addressing probe
+    chains never break (no tombstone hazard) and (b) a subsequent insert of
+    the same voxel resolves to the existing slot and refills it. Used by the
+    backend replay (odometry/backend.py): voxels touched by a refined
+    frame's OLD world points are evicted before the refined points re-insert
+    — the capability analog of the reference ISlamMap::UpdateTrajectory +
+    re-insertion (map.h:64-70), which the reference declares but its CT-ICP
+    pipeline never exercises either.
+
+    Returns (level, num_points_removed).
+    """
+    c = level.capacity
+    slot = find_slots(level, coords)
+    tgt = jnp.where(valid & (slot >= 0), slot, c)
+    new_count = level.count.at[tgt].set(0, mode="drop")
+    removed = jnp.sum(level.count) - jnp.sum(new_count)
+    new_nflags = level.nflags.at[tgt].set(0, mode="drop")
+    return MapLevel(
+        keys=level.keys,
+        count=new_count,
+        points=level.points,
+        normals=level.normals,
+        nflags=new_nflags,
+        win=build_window(level.keys, new_count),
+        num_points=level.num_points - removed,
+    ), removed
+
+
 def prune_level(level: MapLevel, location, max_distance):
     """Remove voxels whose first point lies farther than max_distance from
     ``location`` (reference RemoveElementsFarFromLocation, map.h:305-322).

@@ -29,11 +29,30 @@ from ct_icp_tpu.parallel import ct_ba
 
 
 def make_assemble_fn(level_index: int, nv: int, resolution: float,
-                     min_neighbors: int = 10):
-    """Jitted associator: keyframe keypoints + map -> CTBAProblem arrays."""
+                     min_neighbors: int = 10,
+                     point_block_scale: float = 10.0,
+                     prior_weight: float = 1.5,
+                     max_dist_to_plane: float = 0.3):
+    """Jitted associator: keyframe keypoints + map -> CTBAProblem arrays.
+
+    Weighting model (tuned on the recovery harness in tests/test_ct_ba.py):
+
+    * point rows carry a2D^2 geometric weights, rescaled per frame so the
+      point block's Gauss-Newton strength (sum of squared weights) is
+      ``point_block_scale``^2 — absolute continuity/prior weights then mean
+      the same thing at any window/keypoint count. (The previous
+      ``w / sqrt(sum w)`` normalization collapsed the whole point block to
+      O(1) — the strength of a single continuity edge — and refinement
+      degenerated into trajectory smoothing that measurably *hurt*.)
+    * prior rows anchor each pose pair to its assembly-time estimate with
+      ``prior_weight`` (~2 % of the point block): point-to-plane rows have
+      a tangential null space, and without the anchor repeated refinement
+      passes walk ~2-4 mm per pass along it.
+    """
 
     @jax.jit
-    def assemble(levels, raw, alphas, valid, qb, tb, qe, te, radius):
+    def assemble(levels, raw, alphas, valid, qb, tb, qe, te, radius,
+                 edge_alpha):
         # raw/alphas/valid: [F, K]; poses: [F, ...]
         f, k = raw.shape[0], raw.shape[1]
 
@@ -44,18 +63,29 @@ def make_assemble_fn(level_index: int, nv: int, resolution: float,
                 vm.ball_search_moments(levels[level_index], world, frame_valid,
                                        radius, resolution, nv=nv)
             desc = description_from_moments(count, sum_rel, sum_outer, world)
-            w = jnp.where(frame_valid & (count >= min_neighbors),
+            # outlier gating, like the front-end solver's (ct_icp.cpp:598
+            # gates by max_dist_to_plane; solver.py applies the same bound
+            # through ceres_path_weights): associations whose plane distance
+            # is large are edge/corner mismatches whose wrong normals pull
+            # the refinement systematically.
+            d_plane = jnp.abs(jnp.sum((world - closest) * desc.normal,
+                                      axis=-1))
+            w = jnp.where(frame_valid & (count >= min_neighbors)
+                          & (d_plane < max_dist_to_plane),
                           desc.a2D * desc.a2D, 0.0)
-            # normalize the point block per frame (reference GN path
-            # normalizes A/b by the residual count, ct_icp.cpp:875-882) so
-            # the continuity terms keep a meaningful relative weight
-            w = w / jnp.sqrt(jnp.maximum(jnp.sum(w), 1.0))
+            w = w * (point_block_scale
+                     / jnp.sqrt(jnp.maximum(jnp.sum(w * w), 1e-12)))
             return closest, desc.normal, w
 
         anchors, normals, weights = jax.vmap(one)(
             raw, alphas, valid, qb, tb, qe, te)
-        return ct_ba.CTBAProblem(raw=raw, alphas=alphas, anchors=anchors,
-                                 normals=normals, weights=weights)
+        return ct_ba.CTBAProblem(
+            raw=raw, alphas=alphas, anchors=anchors,
+            normals=normals, weights=weights,
+            prior_quat_begin=qb, prior_tr_begin=tb,
+            prior_quat_end=qe, prior_tr_end=te,
+            prior_weight=jnp.full((f,), prior_weight, raw.dtype),
+            edge_alpha=edge_alpha)
 
     return assemble
 
@@ -65,20 +95,25 @@ class CTBABackend:
 
     def __init__(self, odometry, window: int = 8, period: int = 8,
                  num_steps: int = 2, mesh: Optional[Mesh] = None,
-                 keep_first_frames: int = 2):
+                 keep_first_frames: int = 2, replay: bool = True,
+                 prior_weight: float = 1.5, continuity_beta: float = 2.0):
         self.odometry = odometry
         self.window = window
         self.period = period
         self.num_steps = num_steps
         self.keep_first = keep_first_frames
+        # propagate refinements into the map (evict + re-insert retained
+        # frames at their refined poses) — see Odometry.replay_refined_frames
+        self.replay = replay
         reg = odometry.registration
         self.assemble = make_assemble_fn(
             reg.level_index, reg.statics.voxel_neighborhood,
-            reg.voxel_resolution)
+            reg.voxel_resolution, prior_weight=prior_weight)
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()[:1]), ("frames",))
         self.mesh = mesh
-        self.step = ct_ba.make_ct_ba_step(mesh, num_inner_iters=2)
+        self.step = ct_ba.make_ct_ba_step(mesh, num_inner_iters=2,
+                                          beta=continuity_beta)
         self._keypoints: List[tuple] = []   # (fid, raw, alphas, valid)
         self._count = 0
         self.refinements = 0
@@ -130,8 +165,21 @@ class CTBABackend:
             jnp.float32)
 
         radius = jnp.float32(odo.registration.search_radius)
+        # edge_alpha: where frame f's interpolation reaches begin(f+1)'s
+        # timestamp. Refined windows may have timestamp GAPS between
+        # consecutive keyframes (scan covering part of the frame period, or
+        # skipped insertions) — constraining end(f) directly to begin(f+1)
+        # would pull poses together by the gap motion (see CTBAProblem).
+        ea = np.ones(len(fids), np.float32)
+        for i in range(len(fids) - 1):
+            f0 = odo.trajectory[fids[i]]
+            f1 = odo.trajectory[fids[i + 1]]
+            dur = f0.end_pose.timestamp - f0.begin_pose.timestamp
+            if dur > 0:
+                ea[i] = (f1.begin_pose.timestamp
+                         - f0.begin_pose.timestamp) / dur
         problem = self.assemble(odo.map_state.levels, raw, alphas, valid,
-                                qb, tb, qe, te, radius)
+                                qb, tb, qe, te, radius, jnp.asarray(ea))
         state = ct_ba.CTBAState(qb, tb, qe, te)
         state, problem = ct_ba.shard_problem(self.mesh, state, problem)
         for _ in range(self.num_steps):
@@ -148,3 +196,7 @@ class CTBABackend:
             fr.end_pose.quat = s3n.quat_normalize(nqe[i])
             fr.end_pose.tr = nte[i] + origin
         self.refinements += 1
+        if self.replay:
+            # the map must reflect the refined poses, or the next inserts
+            # (registered against stale world points) wash the refinement out
+            odo.replay_refined_frames([odo.trajectory[f] for f in fids])

@@ -107,14 +107,27 @@ def _host_voxel_dedup(xyz: np.ndarray, voxel_size: float,
 
     Host twin of ops.sampling.voxel_subsample_indices (same
     truncation-toward-zero voxel coords, same first-in-scan-order winner,
-    reference sub_sample_frame ct_icp.cpp:64-83) but exact: np.unique
-    instead of a hash table, so distinct voxels never merge."""
+    reference sub_sample_frame ct_icp.cpp:64-83) but collision-free over
+    +/-2^20 voxels per axis (np.unique over a 21-bit-per-axis packed key,
+    not a lossy hash table): at 0.2 m voxels that is >200 km of range, so
+    distinct voxels never merge for any physical scan."""
     c = np.trunc(xyz / voxel_size).astype(np.int64)
     key = (((c[:, 0] & 0x1FFFFF) << 42) | ((c[:, 1] & 0x1FFFFF) << 21)
            | (c[:, 2] & 0x1FFFFF))
     _, first = np.unique(key, return_index=True)
     first.sort()
     return first[:capacity]
+
+
+# jitted replay primitives (backend refinement propagation). jax.jit's own
+# shape cache handles the pow2 padding rungs; scalar params ride as traced
+# 0-d arrays, so new values never recompile.
+import jax as _jax
+
+_jit_evict = _jax.jit(vm.evict_voxels)
+_jit_insert = _jax.jit(
+    vm.insert_points,
+    static_argnames=("max_dirty", "with_normals", "max_rounds"))
 
 
 def _sanitize_scan(xyz, timestamps):
@@ -191,6 +204,24 @@ class Odometry:
         # on-device assessment, so the gated prune was skipped) is owed to
         # the next frame that can prune safely
         self._prune_owed = False
+
+        # sliding-window CT-BA backend (config surface: backend.enabled in
+        # OdometryOptions / YAML). Attached last: it registers a
+        # FINISHED_REGISTRATION callback.
+        self.backend = None
+        if options.backend.enabled:
+            from ct_icp_tpu.odometry.backend import CTBABackend
+            if self.frame_ring.max_frames < options.backend.window:
+                # replay needs the ring to still hold the refined frames
+                self.frame_ring = FrameRing(options.backend.window)
+            self.backend = CTBABackend(
+                self, window=options.backend.window,
+                period=options.backend.period,
+                num_steps=options.backend.num_steps,
+                keep_first_frames=options.backend.keep_first_frames,
+                replay=options.backend.replay,
+                prior_weight=options.backend.prior_weight,
+                continuity_beta=options.backend.continuity_beta)
 
     # ------------------------------------------------------------- public API —
     def map_size(self) -> int:
@@ -326,6 +357,81 @@ class Odometry:
         if summary.points_added and self.frame_ring.enabled:
             self.frame_ring.push(info.frame_id, xyz, timestamps,
                                  summary.frame)
+
+    def replay_refined_frames(self, refined_frames: List[TrajectoryFrame]
+                              ) -> int:
+        """Propagate trajectory refinements (e.g. the CT-BA backend's) into
+        the map: re-point the retained clouds at the refined poses
+        (FrameRing.update_trajectory), evict the voxels their OLD world
+        points occupied, and re-insert the refined world points.
+
+        The capability analog of reference ISlamMap::UpdateTrajectory
+        (map.h:64-70) made effective: without it, the map keeps
+        pre-refinement world points and each refinement is diluted by the
+        next inserts instead of compounding.
+
+        Locality caveat: eviction is per-voxel, so points contributed to
+        those voxels by frames no longer retained are dropped too; the
+        refined frames' points immediately re-fill them. Returns the number
+        of points re-inserted.
+        """
+        ring = self.frame_ring
+        if not ring.enabled:
+            return 0
+        by_id = {}
+        for f in refined_frames:
+            fid = f.end_pose.frame_id
+            if fid is not None and fid >= 0:
+                by_id[int(fid)] = f
+        fids = [fid for fid in ring.frame_ids() if fid in by_id]
+        if not fids:
+            return 0
+        # OLD-pose world points (the ring still holds pre-refinement poses)
+        old_world = np.concatenate(
+            [ring.get_frame(fid)["world"] for fid in fids], axis=0)
+        ring.update_trajectory(refined_frames)
+
+        def _pad_pow2(arr, fill=0.0):
+            n = max(arr.shape[0], 1)
+            m = 1 << (n - 1).bit_length()
+            pad = np.full((m - arr.shape[0],) + arr.shape[1:], fill,
+                          arr.dtype)
+            return np.concatenate([arr, pad], axis=0), arr.shape[0]
+
+        total = 0
+        levels = list(self.map_state.levels)
+        old_local = old_world - self.origin
+        for li, rp in enumerate(self.map_options.resolutions):
+            # evict: the UNION of old-point voxels across refined frames,
+            # deduped on host (small), padded to a pow2 rung
+            coords = np.unique(
+                np.trunc(old_local / rp.resolution).astype(np.int32), axis=0)
+            coords_p, n_c = _pad_pow2(coords)
+            valid = np.arange(coords_p.shape[0]) < n_c
+            levels[li], _ = _jit_evict(
+                levels[li], jnp.asarray(coords_p), jnp.asarray(valid))
+            # re-insert each refined frame (per frame: keeps the per-voxel
+            # insert budget semantics of the original inserts)
+            for fid in fids:
+                rec = ring.get_frame(fid)
+                w = rec["world"] - self.origin
+                keep = _host_voxel_dedup(w, self.options.voxel_size,
+                                         w.shape[0])
+                w = np.asarray(w[keep], np.float32)
+                w_p, n_w = _pad_pow2(w)
+                wvalid = np.arange(w_p.shape[0]) < n_w
+                btr = np.asarray(rec["begin_pose"].tr - self.origin,
+                                 np.float32)
+                levels[li], n_ins = _jit_insert(
+                    levels[li], jnp.asarray(w_p), jnp.asarray(wvalid),
+                    jnp.float32(rp.resolution),
+                    jnp.float32(rp.min_distance_between_points),
+                    jnp.asarray(btr),
+                    max_dirty=self.options.max_dirty_voxels,
+                    with_normals=self.registration.statics.use_normal_filter)
+                total += int(n_ins)
+        self.map_state = vm.MapState(levels=tuple(levels))
+        return total
 
     # ------------------------------------------------------- streaming mode —
     def stream_frames(self, preps, batch: int = 1):

@@ -35,13 +35,33 @@ from ct_icp_tpu.icp import residuals as res
 
 
 class CTBAProblem(NamedTuple):
-    """Fixed associations for one refinement pass (frames axis shardable)."""
+    """Fixed associations for one refinement pass (frames axis shardable).
+
+    The prior_* block anchors each pose to a reference value (normally the
+    estimate at assembly time) with weight ``prior_weight`` — point-to-plane
+    rows have a tangential null space per surface, and repeated refinement
+    passes drift along it without this anchor (measured ~2-4 mm per pass on
+    the backend's recovery harness). Set prior_weight to 0 to disable.
+    """
 
     raw: jnp.ndarray        # [F, K, 3] sensor-frame points
     alphas: jnp.ndarray     # [F, K]
     anchors: jnp.ndarray    # [F, K, 3] map anchor points
     normals: jnp.ndarray    # [F, K, 3]
     weights: jnp.ndarray    # [F, K] (0 disables a residual)
+    prior_quat_begin: jnp.ndarray  # [F, 4]
+    prior_tr_begin: jnp.ndarray    # [F, 3]
+    prior_quat_end: jnp.ndarray    # [F, 4]
+    prior_tr_end: jnp.ndarray      # [F, 3]
+    prior_weight: jnp.ndarray      # [F]
+    # interpolation parameter at which frame f's continuous pose reaches
+    # begin(f+1)'s TIMESTAMP: (t0[f+1] - t0[f]) / (t1[f] - t0[f]). 1.0 when
+    # frames are contiguous (end(f) == begin(f+1)); > 1 extrapolates across
+    # inter-frame gaps. Without this, trajectories whose frames don't abut
+    # in time (e.g. scans covering only part of the rotation period) get
+    # pulled together by ~the gap motion per pass — measured 5 cm/pass on
+    # the backend recovery harness before the fix.
+    edge_alpha: jnp.ndarray        # [F]
 
 
 class CTBAState(NamedTuple):
@@ -61,22 +81,45 @@ def _frame_residuals(delta, qb, tb, qe, te, raw, alphas, anchors, normals,
     return weights * r
 
 
-def _continuity_residuals(delta, qb, tb, qe, te, q_prev_end, t_prev_end,
-                          q_next_begin, t_next_begin, w_prev, w_next, beta):
-    """Continuity rows of one keyframe against its (fixed) neighbors:
-    begin(f) ~ end(f-1) and end(f) ~ begin(f+1), position + quaternion dot."""
+def _prior_residuals(delta, qb, tb, qe, te, pqb, ptb, pqe, pte, w):
+    """Anchor rows [8] of one keyframe to its prior pose pair: position
+    difference + quaternion-dot rotation distance, both begin and end."""
     qb2, tb2, qe2, te2 = res.apply_delta(delta, qb, tb, qe, te)
-    r_pos_prev = beta * w_prev * (tb2 - t_prev_end)
-    dq_prev = jnp.sum(s3.quat_normalize(qb2) * q_prev_end, axis=-1)
+    db = jnp.sum(s3.quat_normalize(qb2) * pqb, axis=-1)
+    de = jnp.sum(s3.quat_normalize(qe2) * pqe, axis=-1)
+    return jnp.concatenate([
+        w * (tb2 - ptb), (w * (1.0 - db * db))[None],
+        w * (te2 - pte), (w * (1.0 - de * de))[None]])
+
+
+def _pose_at(qb, tb, qe, te, alpha):
+    """Continuous pose of a keyframe at interpolation parameter ``alpha``
+    (slerp+lerp; alpha > 1 extrapolates past the end pose)."""
+    return s3.se3_interpolate(s3.quat_normalize(qb), tb,
+                              s3.quat_normalize(qe), te, alpha)
+
+
+def _continuity_residuals(delta, qb, tb, qe, te, q_prev_ext, t_prev_ext,
+                          q_next_begin, t_next_begin, w_prev, w_next, beta,
+                          edge_alpha):
+    """Continuity rows of one keyframe against its (fixed) neighbors:
+    begin(f) ~ pose_{f-1}(edge_alpha_{f-1}) (the neighbor's extrapolation to
+    begin(f)'s timestamp, halo-passed as a constant) and
+    pose_f(edge_alpha_f) ~ begin(f+1); position + quaternion dot."""
+    qb2, tb2, qe2, te2 = res.apply_delta(delta, qb, tb, qe, te)
+    r_pos_prev = beta * w_prev * (tb2 - t_prev_ext)
+    dq_prev = jnp.sum(s3.quat_normalize(qb2) * q_prev_ext, axis=-1)
     r_rot_prev = (beta * w_prev * (1.0 - dq_prev * dq_prev))[None]
-    r_pos_next = beta * w_next * (te2 - t_next_begin)
-    dq_next = jnp.sum(s3.quat_normalize(qe2) * q_next_begin, axis=-1)
+    qx, tx = _pose_at(qb2, tb2, qe2, te2, edge_alpha)
+    r_pos_next = beta * w_next * (tx - t_next_begin)
+    dq_next = jnp.sum(s3.quat_normalize(qx) * q_next_begin, axis=-1)
     r_rot_next = (beta * w_next * (1.0 - dq_next * dq_next))[None]
     return jnp.concatenate([r_pos_prev, r_rot_prev, r_pos_next, r_rot_next])
 
 
 def _frame_gn_update(qb, tb, qe, te, raw, alphas, anchors, normals, weights,
-                     q_prev_end, t_prev_end, q_next_begin, t_next_begin,
+                     pqb, ptb, pqe, pte, pw, edge_alpha,
+                     q_prev_ext, t_prev_ext, q_next_begin, t_next_begin,
                      w_prev, w_next, beta, damping):
     """One damped block-GN update for a single keyframe."""
     zero = jnp.zeros((12,), raw.dtype)
@@ -84,10 +127,11 @@ def _frame_gn_update(qb, tb, qe, te, raw, alphas, anchors, normals, weights,
     def rfun(d):
         rp = _frame_residuals(d, qb, tb, qe, te, raw, alphas, anchors,
                               normals, weights)
-        rc = _continuity_residuals(d, qb, tb, qe, te, q_prev_end, t_prev_end,
+        rc = _continuity_residuals(d, qb, tb, qe, te, q_prev_ext, t_prev_ext,
                                    q_next_begin, t_next_begin, w_prev, w_next,
-                                   beta)
-        return jnp.concatenate([rp, rc])
+                                   beta, edge_alpha)
+        ra = _prior_residuals(d, qb, tb, qe, te, pqb, ptb, pqe, pte, pw)
+        return jnp.concatenate([rp, rc, ra])
 
     r0 = rfun(zero)
     jac = jax.jacfwd(rfun)(zero)
@@ -99,40 +143,49 @@ def _frame_gn_update(qb, tb, qe, te, raw, alphas, anchors, normals, weights,
     nqb, ntb, nqe, nte = res.apply_delta(delta, qb, tb, qe, te)
     # every interior edge's rows appear in BOTH adjacent frames' rc (as
     # prev for one, next for the other); halve them so the reported cost
-    # counts each edge once and is comparable with the PCG solver's
+    # counts each edge once and is comparable with the PCG solver's.
+    # Prior rows (the trailing 8) are per-frame — counted once.
     k = raw.shape[0]
-    cost = jnp.sum(r0[:k] * r0[:k]) + 0.5 * jnp.sum(r0[k:] * r0[k:])
+    cost = (jnp.sum(r0[:k] * r0[:k])
+            + 0.5 * jnp.sum(r0[k:k + 8] * r0[k:k + 8])
+            + jnp.sum(r0[k + 8:] * r0[k + 8:]))
     return nqb, ntb, nqe, nte, cost
 
 
-def _edge_residuals(d_self, d_next, qe, te, qb_n, tb_n, w, beta):
-    """Continuity rows of ONE trajectory edge end(f) ~ begin(f+1), as a
-    function of BOTH frames' perturbations (the coupled-solver form;
-    the block-Jacobi path evaluates neighbors as constants instead)."""
-    _, _, qe2, te2 = res.apply_delta(d_self, qe, te, qe, te)
-    qb2, tb2, _, _ = res.apply_delta(d_next, qb_n, tb_n, qb_n, tb_n)
-    r_pos = beta * w * (te2 - tb2)
-    dq = jnp.sum(s3.quat_normalize(qe2) * s3.quat_normalize(qb2), axis=-1)
+def _edge_residuals(d_self, d_next, qb, tb, qe, te, edge_alpha,
+                    qb_n, tb_n, w, beta):
+    """Continuity rows of ONE trajectory edge
+    pose_f(edge_alpha_f) ~ begin(f+1), as a function of BOTH frames'
+    perturbations (the coupled-solver form; the block-Jacobi path
+    evaluates neighbors as constants instead)."""
+    qb2, tb2, qe2, te2 = res.apply_delta(d_self, qb, tb, qe, te)
+    qx, tx = _pose_at(qb2, tb2, qe2, te2, edge_alpha)
+    qn2, tn2, _, _ = res.apply_delta(d_next, qb_n, tb_n, qb_n, tb_n)
+    r_pos = beta * w * (tx - tn2)
+    dq = jnp.sum(s3.quat_normalize(qx) * s3.quat_normalize(qn2), axis=-1)
     r_rot = (beta * w * (1.0 - dq * dq))[None]
     return jnp.concatenate([r_pos, r_rot])
 
 
 def _frame_blocks(qb, tb, qe, te, raw, alphas, anchors, normals, weights,
+                  pqb, ptb, pqe, pte, pw, edge_alpha,
                   qb_n, tb_n, w_edge, beta):
     """Per-frame GN blocks for the coupled (block-tridiagonal) system.
 
-    Returns (hp [12,12] point-term Hessian, gp [12] point-term gradient,
+    Returns (hp [12,12] point+prior Hessian, gp [12] point+prior gradient,
     ce [4] edge residual, a [4,12] edge Jacobian wrt this frame,
     b [4,12] edge Jacobian wrt the next frame, cost scalar)."""
     zero = jnp.zeros((12,), raw.dtype)
 
     def rfun(d):
-        return _frame_residuals(d, qb, tb, qe, te, raw, alphas, anchors,
-                                normals, weights)
+        rp = _frame_residuals(d, qb, tb, qe, te, raw, alphas, anchors,
+                              normals, weights)
+        ra = _prior_residuals(d, qb, tb, qe, te, pqb, ptb, pqe, pte, pw)
+        return jnp.concatenate([rp, ra])
 
     def efun(d_self, d_next):
-        return _edge_residuals(d_self, d_next, qe, te, qb_n, tb_n, w_edge,
-                               beta)
+        return _edge_residuals(d_self, d_next, qb, tb, qe, te, edge_alpha,
+                               qb_n, tb_n, w_edge, beta)
 
     rp = rfun(zero)
     jp = jax.jacfwd(rfun)(zero)                     # [K, 12]
@@ -179,14 +232,19 @@ def make_ct_ba_step(mesh: Mesh, axis_name: str = "frames",
             qb, tb, qe, te, _ = carry
             # halo exchange: previous frame's end pose, next frame's begin pose
 
+            # each frame's pose extrapolated to its successor's begin
+            # timestamp — the value the successor's prev-row compares against
+            ext_q, ext_t = jax.vmap(_pose_at)(qb, tb, qe, te,
+                                              problem.edge_alpha)
+
             # within-shard neighbors + cross-shard boundary via ppermute
-            last_qe = jax.lax.ppermute(qe[-1], axis_name, fwd)
-            last_te = jax.lax.ppermute(te[-1], axis_name, fwd)
+            last_qe = jax.lax.ppermute(ext_q[-1], axis_name, fwd)
+            last_te = jax.lax.ppermute(ext_t[-1], axis_name, fwd)
             first_qb = jax.lax.ppermute(qb[0], axis_name, bwd)
             first_tb = jax.lax.ppermute(tb[0], axis_name, bwd)
 
-            q_prev_end = jnp.concatenate([last_qe[None], qe[:-1]], axis=0)
-            t_prev_end = jnp.concatenate([last_te[None], te[:-1]], axis=0)
+            q_prev_ext = jnp.concatenate([last_qe[None], ext_q[:-1]], axis=0)
+            t_prev_ext = jnp.concatenate([last_te[None], ext_t[:-1]], axis=0)
             q_next_begin = jnp.concatenate([qb[1:], first_qb[None]], axis=0)
             t_next_begin = jnp.concatenate([tb[1:], first_tb[None]], axis=0)
 
@@ -205,7 +263,11 @@ def make_ct_ba_step(mesh: Mesh, axis_name: str = "frames",
                 functools.partial(_frame_gn_update, beta=beta, damping=damping))
             nqb, ntb, nqe, nte, costs = upd(
                 qb, tb, qe, te, problem.raw, problem.alphas, problem.anchors,
-                problem.normals, problem.weights, q_prev_end, t_prev_end,
+                problem.normals, problem.weights,
+                problem.prior_quat_begin, problem.prior_tr_begin,
+                problem.prior_quat_end, problem.prior_tr_end,
+                problem.prior_weight, problem.edge_alpha,
+                q_prev_ext, t_prev_ext,
                 q_next_begin, t_next_begin, w_prev, w_next)
             total = jax.lax.psum(jnp.sum(costs), axis_name)
             return nqb, ntb, nqe, nte, total
@@ -245,7 +307,10 @@ def make_ct_ba_step(mesh: Mesh, axis_name: str = "frames",
             hp, gp, ce, a, b_, costs = jax.vmap(
                 functools.partial(_frame_blocks, beta=beta))(
                 qb, tb, qe, te, problem.raw, problem.alphas, problem.anchors,
-                problem.normals, problem.weights, qb_n, tb_n, w_edge)
+                problem.normals, problem.weights,
+                problem.prior_quat_begin, problem.prior_tr_begin,
+                problem.prior_quat_end, problem.prior_tr_end,
+                problem.prior_weight, problem.edge_alpha, qb_n, tb_n, w_edge)
             total = jax.lax.psum(jnp.sum(costs), axis_name)
 
             # block-tridiagonal assembly:
@@ -307,8 +372,7 @@ def make_ct_ba_step(mesh: Mesh, axis_name: str = "frames",
 
     spec_state = CTBAState(P(axis_name), P(axis_name), P(axis_name),
                            P(axis_name))
-    spec_problem = CTBAProblem(P(axis_name), P(axis_name), P(axis_name),
-                               P(axis_name), P(axis_name))
+    spec_problem = CTBAProblem(*([P(axis_name)] * len(CTBAProblem._fields)))
     if solver not in ("jacobi", "pcg"):
         raise ValueError(f"unknown CT-BA solver {solver!r}")
     body = local_step if solver == "jacobi" else local_step_pcg
@@ -378,6 +442,15 @@ def build_synthetic_problem(rng, num_frames: int, num_points: int,
         anchors=jnp.asarray(anchors, jnp.float32),
         normals=jnp.asarray(normals, jnp.float32),
         weights=jnp.ones((num_frames, num_points), jnp.float32),
+        # priors disabled (weight 0): the synthetic tests grade pure
+        # convergence to GT from a perturbed init
+        prior_quat_begin=state.quat_begin,
+        prior_tr_begin=state.tr_begin,
+        prior_quat_end=state.quat_end,
+        prior_tr_end=state.tr_end,
+        prior_weight=jnp.zeros((num_frames,), jnp.float32),
+        # the synthetic model is contiguous: end(f) IS begin(f+1)'s pose
+        edge_alpha=jnp.ones((num_frames,), jnp.float32),
     )
     gt = (jnp.asarray(gt_q, jnp.float32), jnp.asarray(gt_tr, jnp.float32))
     return state, problem, gt
