@@ -21,13 +21,18 @@ import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 1.0 / 0.0855
 
-# Hard accuracy gate: the bench exits nonzero if the mean APE over the
-# synthetic drive exceeds this bound. Pinned to current-best 0.0593 m
-# (2026-08-21, 80 frames, deterministic — exact host-side dedup improved
-# it from 0.0707) + ~18 % headroom, so a deliberate 20 % accuracy
-# regression fails the bench (round-1 verdict: APE drifted 0.07 -> 0.18 m
-# under perf work with no gate firing; this is the gate).
-APE_BOUND_M = 0.07
+# Hard accuracy gate: the bench exits nonzero if the MEAN APE over three
+# scan-realization seeds exceeds this bound. History: round 2 pinned a
+# single-seed 0.0593/0.07, but round 3 found that number was overfit to
+# the seed-3 realization — frame 1 passed the min_number_neighbors
+# bootstrap by luck (36 residuals); every other seed death-spiraled (79/80
+# failures, 23 m APE). With the robust bootstrap budget
+# (OdometryOptions.bootstrap_insert_rounds=12) every draw tracks at
+# 0.09-0.12 m; single-draw APE still swings ~+-0.02 m chaotically with the
+# realization, so the gate averages three seeds (throughput is still
+# measured on the seed-3 run only).
+APE_BOUND_M = 0.12
+APE_SEEDS = (3, 4, 5)
 
 
 def build_scene():
@@ -79,6 +84,92 @@ def straight_trajectory(num_poses, total_time, speed=10.0, accel=2.5):
     return LinearContinuousTrajectory(poses)
 
 
+# Long-horizon gate (--long): 500-frame synthetic urban drive graded by
+# KITTI segment-RPE %Tr — the metric the reference's regression harness
+# actually grades 500-frame drives with
+# (test/regression/regression_config_short_drive.yaml:19-48, 0.5-1.0 %Tr).
+# Pinned to current-best 0.4028 % (2026-08-21, deterministic 500-frame run
+# x2 — per-index frame rngs make the render order-independent — driving
+# profile + bootstrap_insert_rounds=12) + ~15 % relative headroom, mirroring
+# the reference's tolerance discipline. For scale: the reference's
+# real-KITTI regression baselines are 0.5-1.0 %Tr on 500-frame drives.
+LONG_TR_BOUND_PCT = 0.46
+LONG_CONFIG = "configs/synthetic_long_drive.yaml"
+
+
+def run_long():
+    """500-frame drive -> one JSON line; exit 1 if %Tr exceeds the bound."""
+    from ct_icp_tpu.config.options import default_driving_profile
+    from ct_icp_tpu.config.yaml_config import synthetic_sequence_from_yaml
+    from ct_icp_tpu.evaluation.kitti import evaluate_poses
+    from ct_icp_tpu.odometry.concurrent import PrefetchIterator
+    from ct_icp_tpu.odometry.odometry import Odometry
+    import os
+
+    import dataclasses
+
+    num_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    seq = synthetic_sequence_from_yaml(LONG_CONFIG)
+    acq = seq.acq
+    num_frames = min(num_frames, acq.num_frames())
+
+    odo = Odometry(default_driving_profile())
+    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+
+    def _prepare(i):
+        # rendering happens in the prefetch workers, overlapped with device
+        # compute (scene sampling is ~40 ms/frame — off the critical path)
+        fr = acq.frame(i)
+        prep = odo.prepare_frame(fr["xyz"], fr["timestamps"],
+                                 registered_fid=i, frame_id=i, upload=False,
+                                 pad_rung=odo.options.max_scan_points)
+        return prep, fr["begin_pose"], fr["end_pose"]
+
+    gt_ends = [None] * num_frames
+    begin0 = [None]
+
+    def prep_iter():
+        for item in PrefetchIterator(range(num_frames), depth=2 * BATCH,
+                                     transform=_prepare, workers=3):
+            prep, bp, ep = item
+            i = prep["info"].registered_fid
+            gt_ends[i] = ep
+            if i == 0:
+                begin0[0] = bp
+            yield prep
+
+    t0 = time.time()
+    failures = sum(1 for s in odo.stream_frames(prep_iter(), batch=BATCH)
+                   if not s.success)
+    wall = time.time() - t0
+
+    # estimate starts at GT frame 0: conjugate GT into the estimate frame
+    first_gt = begin0[0]
+    gt = [first_gt.inverse() * p for p in gt_ends[:len(odo.trajectory)]]
+    est = [f.end_pose for f in odo.get_trajectory()]
+    err = evaluate_poses(gt, est, driving=True)
+
+    result = {
+        "metric": "synthetic_long_drive_segment_rpe",
+        "value": round(err.mean_rpe, 4),
+        "unit": "%Tr",
+        "vs_baseline": round(1.0 / max(err.mean_rpe, 1e-9), 3),
+        "frames": len(est),
+        "failures": failures,
+        "wall_sec_per_frame": round(wall / max(len(est), 1), 4),
+        "mean_ape_m": round(err.mean_ape, 4),
+        "max_ape_m": round(err.max_ape, 4),
+        "segments": len(err.tab_errors),
+        "tr_bound_pct": LONG_TR_BOUND_PCT,
+        "accuracy_ok": bool(err.mean_rpe <= LONG_TR_BOUND_PCT),
+    }
+    print(json.dumps(result))
+    if not result["accuracy_ok"]:
+        print(f"LONG-HORIZON GATE FAILED: {err.mean_rpe:.4f} %Tr > "
+              f"bound {LONG_TR_BOUND_PCT} %", file=sys.stderr)
+        sys.exit(1)
+
+
 def main():
     from ct_icp_tpu.config.options import default_driving_profile
     from ct_icp_tpu.datasets import synthetic as syn
@@ -91,15 +182,19 @@ def main():
 
     scene = build_scene()
     traj = straight_trajectory(400, num_frames * 0.1 + 0.5)
-    acq = syn.SyntheticSensorAcquisition(
-        scene, traj,
-        syn.SyntheticAcquisitionOptions(
-            num_points_per_frame=100_000, frame_duration=0.1,
-            max_range=50.0, min_range=2.0, noise_sigma=0.01),
-        seed=3)
+
+    def render(seed):
+        acq = syn.SyntheticSensorAcquisition(
+            scene, traj,
+            syn.SyntheticAcquisitionOptions(
+                num_points_per_frame=100_000, frame_duration=0.1,
+                max_range=50.0, min_range=2.0, noise_sigma=0.01),
+            seed=seed)
+        return [acq.frame(i)
+                for i in range(min(num_frames, acq.num_frames()))]
 
     # pre-render frames so host-side scene sampling isn't measured
-    frames = [acq.frame(i) for i in range(min(num_frames, acq.num_frames()))]
+    frames = render(APE_SEEDS[0])
 
     odo = Odometry(default_driving_profile())
 
@@ -153,12 +248,31 @@ def main():
     fps = 1.0 / med_spf
 
     # accuracy vs the synthetic ground truth (estimate starts at GT frame 0)
-    first_gt = frames[0]["begin_pose"]
-    errs = []
-    for est, fr in zip(odo.get_trajectory(), frames):
-        rel_gt = first_gt.inverse() * fr["end_pose"]
-        errs.append(np.linalg.norm(est.end_pose.tr - rel_gt.tr))
-    ape = float(np.mean(errs)) if errs else float("nan")
+    def seq_ape(o, frs):
+        first_gt = frs[0]["begin_pose"]
+        es = [np.linalg.norm(est.end_pose.tr
+                             - (first_gt.inverse() * fr["end_pose"]).tr)
+              for est, fr in zip(o.get_trajectory(), frs)]
+        return es
+
+    errs = seq_ape(odo, frames)
+    apes = [float(np.mean(errs))]
+    # two more realization seeds, accuracy-only (untimed): the gate grades
+    # the MEAN across draws, not one lucky realization
+    for seed in APE_SEEDS[1:]:
+        frs = render(seed)
+        o2 = Odometry(default_driving_profile())
+        p2 = PrefetchIterator(enumerate(frs), depth=2 * BATCH,
+                              transform=lambda item: o2.prepare_frame(
+                                  item[1]["xyz"], item[1]["timestamps"],
+                                  registered_fid=item[0], frame_id=item[0],
+                                  upload=False,
+                                  pad_rung=o2.options.max_scan_points),
+                              workers=3)
+        for _ in o2.stream_frames(p2, batch=BATCH):
+            pass
+        apes.append(float(np.mean(seq_ape(o2, frs))))
+    ape = float(np.mean(apes))
 
     result = {
         "metric": "synthetic_driving_odometry_throughput",
@@ -171,6 +285,7 @@ def main():
         "failures": failures,
         "map_points": odo.map_size(),
         "mean_ape_m": round(ape, 4),
+        "ape_per_seed": [round(a, 4) for a in apes],
         "final_drift_m": round(float(errs[-1]), 4) if errs else None,
         "accuracy_ok": bool(ape <= APE_BOUND_M),
         "ape_bound_m": APE_BOUND_M,
@@ -183,4 +298,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--long":
+        run_long()
+    else:
+        main()

@@ -31,6 +31,13 @@ class Primitive:
     def area_weight(self) -> float:
         return 1.0
 
+    def bound(self):
+        """(center [3], radius) bounding sphere — used by windowed
+        acquisition to skip primitives out of sensor range."""
+        pts = self.sample(8, np.random.default_rng(0))
+        c = pts.mean(axis=0)
+        return c, float(np.linalg.norm(pts - c, axis=-1).max())
+
 
 @dataclasses.dataclass
 class Triangle(Primitive):
@@ -52,6 +59,13 @@ class Triangle(Primitive):
         ac = np.asarray(self.c) - np.asarray(self.a)
         return 0.5 * float(np.linalg.norm(np.cross(ab, ac)))
 
+    def bound(self):
+        v = np.stack([np.asarray(self.a, np.float64),
+                      np.asarray(self.b, np.float64),
+                      np.asarray(self.c, np.float64)])
+        c = v.mean(axis=0)
+        return c, float(np.linalg.norm(v - c, axis=-1).max())
+
 
 @dataclasses.dataclass
 class Line(Primitive):
@@ -64,6 +78,11 @@ class Line(Primitive):
 
     def area_weight(self):
         return float(np.linalg.norm(np.asarray(self.b) - np.asarray(self.a)))
+
+    def bound(self):
+        a, b = np.asarray(self.a, np.float64), np.asarray(self.b, np.float64)
+        c = 0.5 * (a + b)
+        return c, float(np.linalg.norm(b - c))
 
 
 @dataclasses.dataclass
@@ -79,6 +98,9 @@ class Sphere(Primitive):
     def area_weight(self):
         return 4.0 * np.pi * self.radius ** 2
 
+    def bound(self):
+        return np.asarray(self.center, np.float64), float(self.radius)
+
 
 @dataclasses.dataclass
 class Ball(Primitive):
@@ -93,6 +115,9 @@ class Ball(Primitive):
 
     def area_weight(self):
         return 4.0 * np.pi * self.radius ** 2
+
+    def bound(self):
+        return np.asarray(self.center, np.float64), float(self.radius)
 
 
 def rectangle(corner, edge_u, edge_v) -> List[Triangle]:
@@ -132,6 +157,50 @@ class Scene:
         pts = np.concatenate(parts, axis=0) if parts else np.zeros((0, 3))
         return pts[rng.permutation(pts.shape[0])]
 
+    def _bounds(self):
+        if not hasattr(self, "_bound_cache"):
+            cs, rs = [], []
+            for p in self.primitives:
+                c, r = p.bound()
+                cs.append(c)
+                rs.append(r)
+            self._bound_cache = (np.stack(cs), np.asarray(rs))
+        return self._bound_cache
+
+    def subset_near(self, center, radius) -> "Scene":
+        """Sub-scene of primitives whose bounding sphere intersects the
+        query sphere — large drive-scale scenes sample at full local density
+        instead of diluting points over the whole map (the global sampler is
+        uniform by area)."""
+        cs, rs = self._bounds()
+        d = np.linalg.norm(cs - np.asarray(center, np.float64), axis=-1)
+        keep = d - rs <= radius
+        if keep.all():
+            return self
+        prims = [p for p, k in zip(self.primitives, keep) if k]
+        return Scene(prims if prims else self.primitives)
+
+    def sample_lidar(self, n: int, rng, sensor, d_floor: float = 6.0
+                     ) -> np.ndarray:
+        """Range-weighted sampling: per-primitive weight area/d^2 (d =
+        bound-center distance to ``sensor``, floored at ``d_floor``).
+
+        A real scanning LiDAR distributes rays uniformly in ANGLE, so
+        surface density falls off as 1/d^2 — the uniform-by-area sampler
+        would give a distant facade the same points/m^2 as the road under
+        the vehicle, leaving near-field neighborhoods too sparse for ICP's
+        min_number_neighbors on open drive-scale scenes."""
+        cs, rs = self._bounds()
+        d = np.maximum(np.linalg.norm(
+            cs - np.asarray(sensor, np.float64), axis=-1), d_floor)
+        w = np.array([p.area_weight() for p in self.primitives]) / (d * d)
+        w = w / max(w.sum(), 1e-12)
+        counts = rng.multinomial(n, w)
+        parts = [p.sample(int(c), rng)
+                 for p, c in zip(self.primitives, counts) if c > 0]
+        pts = np.concatenate(parts, axis=0) if parts else np.zeros((0, 3))
+        return pts[rng.permutation(pts.shape[0])]
+
 
 @dataclasses.dataclass
 class SyntheticAcquisitionOptions:
@@ -140,6 +209,9 @@ class SyntheticAcquisitionOptions:
     max_range: float = 100.0
     min_range: float = 0.5
     noise_sigma: float = 0.0     # isotropic point noise (meters)
+    # sample only primitives within max_range of the frame pose (plus the
+    # sweep motion): local density stays constant on drive-scale scenes
+    windowed: bool = False
 
 
 class SyntheticSensorAcquisition:
@@ -157,6 +229,12 @@ class SyntheticSensorAcquisition:
         self.scene = scene
         self.trajectory = trajectory
         self.options = options
+        self.seed = seed
+        # kept for compatibility; frame() derives a per-index rng instead —
+        # a shared sequential stream makes frame(i) depend on CALL ORDER,
+        # which silently changes the data under multi-threaded prefetch
+        # rendering (measured: the 500-frame gate drifted 0.35 -> 1.08 %Tr
+        # run to run purely from worker scheduling)
         self.rng = np.random.default_rng(seed)
 
     def num_frames(self) -> int:
@@ -167,11 +245,22 @@ class SyntheticSensorAcquisition:
         """Returns dict(xyz [N,3] sensor frame, timestamps [N], begin_pose,
         end_pose) for frame ``index``."""
         o = self.options
+        rng = np.random.default_rng((self.seed, index))
         t0 = self.trajectory.timestamps[0] + index * o.frame_duration
         t1 = t0 + o.frame_duration
         n = o.num_points_per_frame
-        world = self.scene.sample(2 * n, self.rng)
-        ts = self.rng.uniform(t0, t1, world.shape[0])
+        scene = self.scene
+        if o.windowed:
+            # windowed mode doubles as the LiDAR-like local density model:
+            # primitives outside range are dropped AND the remainder is
+            # range-weighted (area/d^2), approximating a scanner's uniform-
+            # in-angle ray distribution
+            begin = self.trajectory.interpolate_pose(t0)
+            scene = self.scene.subset_near(begin.tr, o.max_range + 20.0)
+            world = scene.sample_lidar(2 * n, rng, begin.tr)
+        else:
+            world = scene.sample(2 * n, rng)
+        ts = rng.uniform(t0, t1, world.shape[0])
         ts.sort()
         q, tr = self.trajectory.interpolate_poses(ts)
         qi, ti = s3n.se3_inverse(q, tr)
@@ -180,7 +269,7 @@ class SyntheticSensorAcquisition:
         keep = (rng_d >= o.min_range) & (rng_d <= o.max_range)
         raw, ts = raw[keep][:n], ts[keep][:n]
         if o.noise_sigma > 0:
-            raw = raw + self.rng.normal(scale=o.noise_sigma, size=raw.shape)
+            raw = raw + rng.normal(scale=o.noise_sigma, size=raw.shape)
         begin = self.trajectory.interpolate_pose(t0)
         end = self.trajectory.interpolate_pose(t1)
         begin.timestamp, end.timestamp = t0, t1
@@ -217,3 +306,134 @@ def circular_trajectory(radius=8.0, height=1.5, num_poses=200,
         q = s3n.quat_from_rotvec(np.array([0.0, 0.0, yaw]))
         poses.append(Pose(q, pos, timestamp=s * total_time))
     return LinearContinuousTrajectory(poses)
+
+
+def waypoint_drive_trajectory(waypoints, speed_profile=None, height=1.7,
+                              pose_rate=20.0, corner_radius=4.0,
+                              max_accel=2.5):
+    """A driving trajectory along a 2-D waypoint polyline.
+
+    The long-horizon analog of ``circular_trajectory`` for KITTI-style
+    regression sequences (reference regression_config_short_drive.yaml
+    grades 500-frame drives): corners are rounded to ``corner_radius``,
+    yaw follows the path tangent, and speed follows ``speed_profile`` — a
+    list of ``(arclength_m, speed_mps)`` control points interpolated
+    linearly in distance (so slow-traffic sections and stops are expressed
+    as profile dips). Acceleration from standstill is capped by
+    ``max_accel`` (odometry's constant-velocity capture range needs the
+    ramp, like real drives that begin at rest).
+    """
+    wp = np.asarray(waypoints, np.float64)
+    if wp.shape[1] == 2:
+        wp = np.concatenate([wp, np.zeros((wp.shape[0], 1))], axis=1)
+    # densify the polyline at 0.25 m steps
+    step = 0.25
+    pts = [wp[0]]
+    for a, b in zip(wp[:-1], wp[1:]):
+        seg = b - a
+        length = np.linalg.norm(seg)
+        k = max(int(np.ceil(length / step)), 1)
+        for i in range(1, k + 1):
+            pts.append(a + seg * (i / k))
+    path = np.stack(pts)
+    # round corners: moving average over ~corner_radius of arclength
+    w = max(int(corner_radius / step), 1)
+    if w > 1:
+        kern = np.ones(w) / w
+        pad = np.concatenate([np.repeat(path[:1], w, axis=0), path,
+                              np.repeat(path[-1:], w, axis=0)])
+        sm = np.stack([np.convolve(pad[:, i], kern, mode="same")
+                       for i in range(3)], axis=1)
+        path = sm[w:-w]
+    seg_len = np.linalg.norm(np.diff(path, axis=0), axis=-1)
+    s = np.concatenate([[0.0], np.cumsum(seg_len)])
+    total_len = s[-1]
+
+    if speed_profile is None:
+        speed_profile = [(0.0, 10.0)]
+    sp = np.asarray(speed_profile, np.float64)
+    def v_of_s(ss):
+        v = np.interp(ss, sp[:, 0], sp[:, 1])
+        ramp = np.sqrt(np.maximum(2.0 * max_accel * np.maximum(ss, 0.01),
+                                  0.09))
+        return np.clip(np.minimum(v, ramp), 0.3, None)
+
+    # integrate time along the arclength
+    mid_v = v_of_s(0.5 * (s[:-1] + s[1:]))
+    dt = seg_len / mid_v
+    t = np.concatenate([[0.0], np.cumsum(dt)])
+    total_time = t[-1]
+
+    # poses at uniform pose_rate
+    n_poses = max(int(total_time * pose_rate), 2)
+    ts = np.linspace(0.0, total_time, n_poses)
+    ss = np.interp(ts, t, s)
+    xyz = np.stack([np.interp(ss, s, path[:, i]) for i in range(3)], axis=1)
+    xyz[:, 2] += height
+    # yaw from the smoothed tangent
+    tang = np.gradient(xyz[:, :2], ss, axis=0, edge_order=1)
+    yaw = np.unwrap(np.arctan2(tang[:, 1], tang[:, 0]))
+    poses = []
+    for i in range(n_poses):
+        q = s3n.quat_from_rotvec(np.array([0.0, 0.0, yaw[i]]))
+        poses.append(Pose(q, xyz[i].copy(), timestamp=float(ts[i])))
+    return LinearContinuousTrajectory(poses)
+
+
+def city_blocks(nx=5, ny=3, block=40.0, street=14.0, height=8.0,
+                relief_every=8.0, n_obstacles=60, seed=0):
+    """A drive-scale urban scene: a grid of building blocks separated by
+    streets, with ground, facade relief (pillars/doorways that make the
+    along-street direction observable) and parked obstacles.
+
+    Streets run along the grid lines; block (i, j) occupies
+    [i*(block+street), ...] + [street, street]. The route YAML picks
+    waypoints down street centerlines.
+    """
+    pitch = block + street
+    prims: List[Primitive] = []
+    x1 = nx * pitch + street
+    y1 = ny * pitch + street
+    # ground spanning everything (+ margin), TILED so the windowed sampler
+    # can drop far-away patches (one giant rectangle would dominate the
+    # area weights everywhere and dilute the local sample density)
+    tile = 20.0
+    gx = np.arange(-20.0, x1 + 40.0, tile)
+    gy = np.arange(-20.0, y1 + 40.0, tile)
+    for tx in gx:
+        for ty in gy:
+            prims += rectangle([tx, ty, 0.0], [tile, 0.0, 0.0],
+                               [0.0, tile, 0.0])
+    rng = np.random.default_rng(seed)
+    for i in range(nx):
+        for j in range(ny):
+            x0 = street + i * pitch
+            y0 = street + j * pitch
+            h = height * rng.uniform(0.7, 1.4)
+            # four facade walls
+            prims += rectangle([x0, y0, 0], [block, 0, 0], [0, 0, h])
+            prims += rectangle([x0, y0 + block, 0], [block, 0, 0], [0, 0, h])
+            prims += rectangle([x0, y0, 0], [0, block, 0], [0, 0, h])
+            prims += rectangle([x0 + block, y0, 0], [0, block, 0], [0, 0, h])
+            # relief: pillars jutting into the street every relief_every m
+            k = 0.0
+            while k + 2.0 < block:
+                prims += rectangle([x0 + k, y0, 0], [0, -1.2, 0], [0, 0, 4])
+                prims += rectangle([x0 + k, y0 + block, 0], [0, 1.2, 0],
+                                   [0, 0, 4])
+                prims += rectangle([x0, y0 + k, 0], [-1.2, 0, 0], [0, 0, 4])
+                prims += rectangle([x0 + block, y0 + k, 0], [1.2, 0, 0],
+                                   [0, 0, 4])
+                k += relief_every
+    # parked obstacles along the streets
+    for _ in range(n_obstacles):
+        gi = rng.integers(0, nx + 1)
+        along = rng.uniform(0, y1)
+        lane = rng.uniform(2.0, street - 2.0)
+        if rng.uniform() < 0.5:
+            c = np.array([gi * pitch + lane, along, 0.8])
+        else:
+            c = np.array([along, gi * pitch + lane, 0.8])
+        if 0 <= c[0] <= x1 and 0 <= c[1] <= y1:
+            prims.append(Ball(c, rng.uniform(0.5, 1.0)))
+    return prims

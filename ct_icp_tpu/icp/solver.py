@@ -613,20 +613,35 @@ def build_register_fn(statics: SolverStatics):
 
         def body(carry):
             (it, cqb, ctb, cqe, cte, _, _, _, _, _, planes,
-             anchor_tr) = carry
+             anchor_tr, anchor_q) = carry
             if statics.ball_neighborhood:
-                moved = jnp.linalg.norm(cte - anchor_tr) \
+                # regather when the pose moved more than half a voxel since
+                # the cached gather — including ROTATION, which displaces a
+                # keypoint at distance r by ~r*dtheta (a sustained 4 deg/
+                # frame corner moves 40 m points by 2.8 m while the
+                # translation test alone stays quiet; measured runaway ego
+                # rotation and 39 consecutive frame failures on the long-
+                # drive corner before this term existed)
+                moved_tr = jnp.linalg.norm(cte - anchor_tr) \
                     > 0.5 * dyn.voxel_resolution
-                do_gather = (it < dyn.regather_iters) | moved
+                dtheta = jnp.maximum(
+                    s3.angular_distance_deg(cqe, anchor_q[0]),
+                    s3.angular_distance_deg(cqb, anchor_q[1])) \
+                    * (jnp.pi / 180.0)
+                moved_rot = dtheta * r_max > 0.5 * dyn.voxel_resolution
+                do_gather = (it < dyn.regather_iters) | moved_tr | moved_rot
                 anchors, normals, lines, cov_inv, geom_w, ok, cls, planes = \
                     _build_problem(statics, dyn, level, raw, alphas, valid,
                                    cqb, ctb, cqe, cte, sensor_location,
                                    cached_planes=planes, do_gather=do_gather)
                 anchor_tr = jnp.where(do_gather, cte, anchor_tr)
+                anchor_q = jnp.where(do_gather,
+                                     jnp.stack([cqe, cqb]), anchor_q)
             else:
                 anchors, normals, lines, cov_inv, geom_w, ok, cls, _ = \
                     _build_problem(statics, dyn, level, raw, alphas, valid,
                                    cqb, ctb, cqe, cte, sensor_location)
+                anchor_q = jnp.stack([cqe, cqb])
             nqb, ntb, nqe, nte, cost, n_res = _lm_inner_loop(
                 statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
                 geom_w, ok, cls, cqb, ctb, cqe, cte, prior)
@@ -645,12 +660,15 @@ def build_register_fn(statics: SolverStatics):
                          & (diff_trans < dyn.threshold_translation_norm))
             converged = converged | ~enough
             return (it + 1, nqb, ntb, nqe, nte, cost, converged, n_res,
-                    enough, cost, planes, anchor_tr)
+                    enough, cost, planes, anchor_tr, anchor_q)
 
+        # farthest keypoint distance: converts a rotation since the last
+        # gather into its worst-case point displacement (cache validity)
+        r_max = jnp.max(jnp.where(valid, jnp.linalg.norm(raw, axis=-1), 0.0))
         init = (jnp.int32(0), qb, tb, qe, te,
                 jnp.asarray(jnp.inf, raw.dtype), jnp.asarray(False),
                 jnp.int32(0), jnp.asarray(True), jnp.asarray(jnp.inf, raw.dtype),
-                zero_planes, te + 1e9)
+                zero_planes, te + 1e9, jnp.stack([qe, qb]))
         if statics.unroll_iters > 0:
             # python-level unroll: every iteration's ops are in the program
             # (masked once converged) — no while_loop carry, and gathers sit
@@ -663,10 +681,10 @@ def build_register_fn(statics: SolverStatics):
                 carry = jax.tree_util.tree_map(
                     lambda n, o: jnp.where(active, n, o), new, carry)
             (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough,
-             _, _, _) = carry
+             _, _, _, _) = carry
         else:
             (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough,
-             _, _, _) = jax.lax.while_loop(cond, body, init)
+             _, _, _, _) = jax.lax.while_loop(cond, body, init)
 
         return RegistrationResult(
             quat_begin=s3.quat_normalize(fqb), tr_begin=ftb,

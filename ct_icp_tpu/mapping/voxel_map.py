@@ -327,6 +327,14 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
     against the frame's begin location (reference map.h:209-235) — the hot
     path skips this when the profile never reads normals
     (use_normal_filter off; exports use recompute_level_normals instead).
+
+    ``max_rounds`` caps the scatter-min election rounds AND therefore the
+    points inserted per voxel per call. The election early-exits at the
+    actual max same-voxel multiplicity (1-2 in steady state), so a higher
+    cap costs nothing once the map is warm — but the FIRST frames over new
+    terrain need it: the reference has no such budget, and a cap of 4
+    starves the bootstrap map to ~6 pts/m^2 on open scenes (below
+    min_number_neighbors at radius 0.75), failing frame 1 outright.
     """
     c, p = level.capacity, level.max_points
     n = pts.shape[0]

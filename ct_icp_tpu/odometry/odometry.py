@@ -284,7 +284,16 @@ class Odometry:
             o = self.options
             v = (o.init_voxel_size
                  if registered_fid < o.init_num_frames else o.voxel_size)
-            keep = _host_voxel_dedup(xyz, v, o.max_subsampled_points)
+            # dedup on the WIRE-QUANTIZED coords (1/128 m): the device grid
+            # subsample runs on the unpacked quantized points, and a
+            # boundary point can land in a different voxel than its
+            # unquantized coords suggest — deduping on raw coords made the
+            # prepared path pick different voxel winners than the
+            # unprepared (full-scan) path, breaking their exact equality
+            # (found by tests/test_odometry.py::
+            # test_robust_streaming_rollback_replay at 7 mm divergence)
+            q = np.rint(xyz * pl.SCAN_QUANT) / pl.SCAN_QUANT
+            keep = _host_voxel_dedup(q, v, o.max_subsampled_points)
             xyz, timestamps = xyz[keep], timestamps[keep]
             n = xyz.shape[0]
             cap = min(cap, o.max_subsampled_points)
@@ -526,6 +535,10 @@ class Odometry:
                 o.orientation_error_threshold,
                 1.0 if k % PRUNE_PERIOD == 0 else 0.0,
                 np.inf, np.inf, np.inf, 0.0,
+                # insert election rounds (fs[15]): the young-map
+                # bootstrap budget (see OdometryOptions docstring)
+                float(o.bootstrap_insert_rounds)
+                if k < o.bootstrap_frames else 4.0,
             ], dtype=np.float32)
             t0 = time.time()
             scan_dev = prep["scan_dev"]
@@ -596,6 +609,9 @@ class Odometry:
                 o.orientation_error_threshold,
                 1.0 if info.registered_fid % PRUNE_PERIOD == 0 else 0.0,
                 np.inf, np.inf, np.inf, 0.0,
+                # young-map insert budget (fs[15], see OdometryOptions)
+                float(o.bootstrap_insert_rounds)
+                if info.registered_fid < o.bootstrap_frames else 4.0,
             ], dtype=np.float32)
 
         tail = []             # leftover preps (< batch) for single-frame drain
@@ -763,6 +779,9 @@ class Odometry:
             o.robust_threshold_ego_orientation * gm,
             o.robust_relative_trans_threshold * gm,
             1.0 if o.robust_num_attempts_when_rotation > 0 else 0.0,
+            # young-map insert budget (fs[15], see OdometryOptions)
+            float(o.bootstrap_insert_rounds)
+            if info.registered_fid < o.bootstrap_frames else 4.0,
         ], dtype=np.float32)
 
     def _stream_frames_robust(self, preps, batch: int):
@@ -1429,6 +1448,9 @@ class Odometry:
                 o.robust_relative_trans_threshold * gm,
                 1.0 if (robust_level == 0
                         and o.robust_num_attempts_when_rotation > 0) else 0.0,
+                # young-map insert budget (fs[15], see OdometryOptions)
+                float(o.bootstrap_insert_rounds)
+                if info.registered_fid < o.bootstrap_frames else 4.0,
             ], dtype=np.float32)
             self.map_state, packed, kp_dev, world_dev = self._frame_step(
                 self.map_state, scan_dev, jnp.int32(n),
@@ -1575,6 +1597,9 @@ class Odometry:
             o.orientation_error_threshold,
             1.0 if k % PRUNE_PERIOD == 0 else 0.0,
             np.inf, np.inf, np.inf, 0.0,
+            # young-map insert budget (fs[15], see OdometryOptions)
+            float(o.bootstrap_insert_rounds)
+            if k < o.bootstrap_frames else 4.0,
         ], dtype=np.float32)
 
         self.map_state, packed, kp_dev, world_dev = self._frame_step(

@@ -179,7 +179,7 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
     gather-bound candidate planes) — so a frame pays for the points it has,
     not for the static worst-case shapes.
 
-    frame_scalars layout (f32[15]):
+    frame_scalars layout (f32[16], fs[15] = insert election rounds):
       0 voxel_size          1 sample_voxel_size    2 max_distance
       3 do_register(0/1)    4 force_insert(-1/0/1/2: -1 none, 0 heuristic,
                               1 force, 2 robust-gated — insert only when the
@@ -338,9 +338,16 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
                 # per-voxel normals are maintained on insert only when the
                 # solver reads them (visibility filter); exports recompute
                 # on demand (vm.recompute_level_normals)
+                # fs[15]: election-round budget (= points/voxel this
+                # frame may add). TRACED so the init phase can run a higher
+                # budget: the reference has no such cap, and bootstrap maps
+                # on open scenes starve below min_number_neighbors at the
+                # steady-state budget (frame 1 fails outright; the election
+                # early-exit makes the higher bound free once warm)
                 lvl, cnt = vm.insert_points(
                     level, w, v, resolutions[i], min_dists[i], tb, max_dirty,
-                    with_normals=statics.use_normal_filter)
+                    with_normals=statics.use_normal_filter,
+                    max_rounds=fs[15].astype(jnp.int32))
                 inserted = inserted + cnt
                 new_levels.append(lvl)
             return tuple(new_levels), inserted
