@@ -597,13 +597,12 @@ def build_register_fn(statics: SolverStatics):
             # Cached as raw rows + per-voxel counts — the compact layout
             # keeps the while_loop carry (and its per-iteration select
             # through lax.cond) ~3.5x smaller than per-point planes.
-            k = statics.num_keypoints
-            o = (2 * statics.voxel_neighborhood + 1) ** 3
-            if 0 < statics.max_candidate_voxels < o:
-                o = statics.max_candidate_voxels
-            p = level.max_points
-            zero_planes = (jnp.zeros((k, o, 3 * p), raw.dtype),
-                           jnp.zeros((k, o), jnp.int32))
+            # the cache arrays are created by the PEELED first iteration
+            # below (a fresh gather), not zero-initialized: materializing
+            # the [K, O, 3P] zeros (up to ~24 MB at full rungs) and
+            # selecting them through the first iteration's lax.cond was
+            # pure HBM traffic
+            zero_planes = None
         else:
             zero_planes = ()
 
@@ -669,22 +668,38 @@ def build_register_fn(statics: SolverStatics):
                 jnp.asarray(jnp.inf, raw.dtype), jnp.asarray(False),
                 jnp.int32(0), jnp.asarray(True), jnp.asarray(jnp.inf, raw.dtype),
                 zero_planes, te + 1e9, jnp.stack([qe, qb]))
+        # PEEL iteration 0: its gather is unconditional (the cache cannot
+        # be warm yet), so running it outside the loop creates the cache
+        # arrays directly — no zero-init, no first-iteration cond select.
+        # When num_iters_icp <= 0 (frame 0's passthrough), the peeled
+        # update is discarded below (cheap: selects only the pose-sized
+        # fields; the unread cache arrays pass through untouched).
+        peeled = body(init)
+        skip = dyn.num_iters_icp <= 0
+        carry1 = tuple(
+            (x if i == 10 else
+             jax.tree_util.tree_map(
+                 lambda n, o: jnp.where(skip, o, n), x, init[i]))
+            for i, x in enumerate(peeled))
         if statics.unroll_iters > 0:
-            # python-level unroll: every iteration's ops are in the program
-            # (masked once converged) — no while_loop carry, and gathers sit
-            # at statically known program points (vmap-friendly)
-            carry = init
-            for _ in range(statics.unroll_iters):
+            # python-level unroll of the REMAINING iterations (masked once
+            # converged): gathers sit at statically known program points
+            # (vmap-friendly — a vmapped lax.cond executes both branches)
+            carry = carry1
+            for _ in range(statics.unroll_iters - 1):
                 it = carry[0]
                 active = (it < dyn.num_iters_icp) & ~carry[6]
                 new = body(carry)
-                carry = jax.tree_util.tree_map(
-                    lambda n, o: jnp.where(active, n, o), new, carry)
+                carry = tuple(
+                    (x if i == 10 else
+                     jax.tree_util.tree_map(
+                         lambda n, o: jnp.where(active, n, o), x, carry[i]))
+                    for i, x in enumerate(new))
             (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough,
              _, _, _, _) = carry
         else:
             (it, fqb, ftb, fqe, fte, cost, converged, n_res, enough,
-             _, _, _, _) = jax.lax.while_loop(cond, body, init)
+             _, _, _, _) = jax.lax.while_loop(cond, body, carry1)
 
         return RegistrationResult(
             quat_begin=s3.quat_normalize(fqb), tr_begin=ftb,

@@ -179,7 +179,8 @@ class Odometry:
                 max_dirty=options.max_dirty_voxels,
                 distort_constant_velocity=(
                     options.motion_compensation
-                    == MotionCompensation.CONSTANT_VELOCITY))
+                    == MotionCompensation.CONSTANT_VELOCITY),
+                host_prededuped=options.host_subsample)
         self._startup_opts_cache = {}
         # streaming-mode state (built lazily on first stream_frames call)
         self._stream_step = None
@@ -282,6 +283,16 @@ class Odometry:
             n = cap
         if self.options.host_subsample:
             o = self.options
+            # SHUFFLE before the voxel dedup (reference InitializeFrame,
+            # odometry.cpp:349-361): first-per-voxel on a TIME-SORTED scan
+            # picks each voxel's earliest-timestamp sample (the min of k
+            # uniforms — measured keypoint alpha mean 0.11), leaving the
+            # END pose nearly unobserved by data; a shuffled scan draws a
+            # random representative per voxel and the alphas stay uniform.
+            # Deterministic per frame id (the reference seeds g_ once).
+            perm = np.random.default_rng(
+                (0x5EED, info.frame_id)).permutation(xyz.shape[0])
+            xyz, timestamps = xyz[perm], timestamps[perm]
             v = (o.init_voxel_size
                  if registered_fid < o.init_num_frames else o.voxel_size)
             # dedup on the WIRE-QUANTIZED coords (1/128 m): the device grid
@@ -297,6 +308,26 @@ class Odometry:
             xyz, timestamps = xyz[keep], timestamps[keep]
             n = xyz.shape[0]
             cap = min(cap, o.max_subsampled_points)
+        kp_n, kp_voxel = 0, 0.0
+        import os as _os
+        if self.options.host_subsample and not _os.environ.get("CT_NO_KP_PREFIX"):
+            # KEYPOINT PREFIX: stable-partition the deduped scan so the
+            # grid-sample winners (first-in-scan-order per fs[1]-voxel, the
+            # exact election the device stage runs) come first. The device
+            # then takes keypoints as a STATIC PREFIX SLICE (count rides in
+            # fs[16]) instead of running a 65k-point scatter-min election
+            # per frame. Scan order is free to permute — the reference
+            # SHUFFLES frames on ingestion (odometry.cpp InitializeFrame).
+            v_kp = (o.init_sample_voxel_size
+                    if registered_fid < o.init_num_frames
+                    else o.sample_voxel_size)
+            q = np.rint(xyz * pl.SCAN_QUANT) / pl.SCAN_QUANT
+            kp_first = _host_voxel_dedup(q, v_kp, o.max_keypoints)
+            mask = np.zeros(n, bool)
+            mask[kp_first] = True
+            order = np.concatenate([kp_first, np.nonzero(~mask)[0]])
+            xyz, timestamps = xyz[order], timestamps[order]
+            kp_n, kp_voxel = int(kp_first.shape[0]), float(v_kp)
         alphas = self._frame_alphas(timestamps, info)
         # quantized wire format, padded to the smallest upload rung — the
         # scan upload dominates wall time on bandwidth-limited device links
@@ -307,6 +338,9 @@ class Odometry:
             "scan_dev": jnp.asarray(packed) if upload else None,
             "scan_host": packed,
             "xyz": xyz, "timestamps": timestamps,
+            # keypoint-prefix metadata: kp_n valid only for frames whose
+            # fs[1] equals kp_voxel (robust escalation shrinks it)
+            "kp_n": kp_n, "kp_voxel": kp_voxel,
         }
 
     def register_frame_prepared(self, prep: dict,
@@ -490,7 +524,8 @@ class Odometry:
                 continuous=(o.motion_compensation
                             == MotionCompensation.CONTINUOUS),
                 always_insert=o.always_insert,
-                do_no_insert=o.do_no_insert)
+                do_no_insert=o.do_no_insert,
+                host_prededuped=o.host_subsample)
             self._stream_rebase = pl.make_stream_rebase_fn(self.map_options)
         if self._odo_state is None:
             self._odo_state = jnp.asarray(pl.init_odo_state())
@@ -539,6 +574,9 @@ class Odometry:
                 # bootstrap budget (see OdometryOptions docstring)
                 float(o.bootstrap_insert_rounds)
                 if k < o.bootstrap_frames else 4.0,
+                self._kp_prefix_scalar(
+                    prep, o.init_sample_voxel_size if startup
+                    else o.sample_voxel_size),
             ], dtype=np.float32)
             t0 = time.time()
             scan_dev = prep["scan_dev"]
@@ -581,7 +619,7 @@ class Odometry:
                             == Initialization.INIT_CONSTANT_VELOCITY),
             continuous=(o.motion_compensation == MotionCompensation.CONTINUOUS),
             always_insert=o.always_insert, do_no_insert=o.do_no_insert,
-            batch=batch)
+            batch=batch, host_prededuped=o.host_subsample)
         if self._odo_state is None:
             self._odo_state = jnp.asarray(pl.init_odo_state())
         if self._stream_rebase is None:
@@ -597,11 +635,14 @@ class Odometry:
             betas = np.zeros(4, np.float32)
         betas_dev = jnp.asarray(betas)
 
-        def frame_scalars(info):
+        def frame_scalars(prep):
+            info = prep["info"]
             startup = info.registered_fid < o.init_num_frames
+            fs1 = (o.init_sample_voxel_size if startup
+                   else o.sample_voxel_size)
             return np.asarray([
                 o.init_voxel_size if startup else o.voxel_size,
-                o.init_sample_voxel_size if startup else o.sample_voxel_size,
+                fs1,
                 o.max_distance, 0.0, 0.0,
                 o.insertion_ego_rotation_threshold, 0.0,
                 o.insertion_threshold_frames_skipped,
@@ -612,6 +653,7 @@ class Odometry:
                 # young-map insert budget (fs[15], see OdometryOptions)
                 float(o.bootstrap_insert_rounds)
                 if info.registered_fid < o.bootstrap_frames else 4.0,
+                self._kp_prefix_scalar(prep, fs1),
             ], dtype=np.float32)
 
         tail = []             # leftover preps (< batch) for single-frame drain
@@ -641,7 +683,7 @@ class Odometry:
                 infos.append(info)
                 dyns.append(self.registration.dynamics(
                     self._effective_icp_options(info)))
-                fss.append(frame_scalars(info))
+                fss.append(frame_scalars(prep))
                 ns.append(prep["n"])
                 sh = prep["scan_host"]
                 scans[b, :sh.shape[0]] = sh
@@ -756,7 +798,8 @@ class Odometry:
         s[30] = float(self.insertion_tracker.total_insertions)
         return jnp.asarray(s.astype(np.float32))
 
-    def _robust_frame_scalars(self, info: FrameInfo) -> np.ndarray:
+    def _robust_frame_scalars(self, info: FrameInfo,
+                              prep: Optional[dict] = None) -> np.ndarray:
         """Frame scalars for a speculative robust-level-0 streamed frame.
 
         Thresholds carry the same tie-breaking margin as the per-frame
@@ -766,9 +809,10 @@ class Odometry:
         o = self.options
         gm = 1.0 - 1e-4
         startup = info.registered_fid < o.init_num_frames
+        fs1 = o.init_sample_voxel_size if startup else o.sample_voxel_size
         return np.asarray([
             o.init_voxel_size if startup else o.voxel_size,
-            o.init_sample_voxel_size if startup else o.sample_voxel_size,
+            fs1,
             o.max_distance, 0.0, 0.0,
             o.insertion_ego_rotation_threshold, 0.0,
             o.insertion_threshold_frames_skipped,
@@ -782,6 +826,7 @@ class Odometry:
             # young-map insert budget (fs[15], see OdometryOptions)
             float(o.bootstrap_insert_rounds)
             if info.registered_fid < o.bootstrap_frames else 4.0,
+            self._kp_prefix_scalar(prep, fs1),
         ], dtype=np.float32)
 
     def _stream_frames_robust(self, preps, batch: int):
@@ -815,7 +860,8 @@ class Odometry:
                             == Initialization.INIT_CONSTANT_VELOCITY),
             continuous=(o.motion_compensation == MotionCompensation.CONTINUOUS),
             always_insert=o.always_insert, do_no_insert=o.do_no_insert,
-            batch=batch, robust_gated=True, with_checkpoint=True)
+            batch=batch, robust_gated=True, with_checkpoint=True,
+            host_prededuped=o.host_subsample)
         if self._stream_rebase is None:
             self._stream_rebase = pl.make_stream_rebase_fn(self.map_options)
 
@@ -849,7 +895,7 @@ class Odometry:
                 self._stash_scan(prep)
                 dyns.append(self.registration.dynamics(
                     self._effective_icp_options(info)))
-                fss.append(self._robust_frame_scalars(info))
+                fss.append(self._robust_frame_scalars(info, prep))
                 ns.append(prep["n"])
                 sh = prep["scan_host"]
                 scans[b, :sh.shape[0]] = sh
@@ -1339,22 +1385,62 @@ class Odometry:
             self._startup_opts_cache[startup] = cached
         return cached
 
+
+    @staticmethod
+    def _kp_prefix_scalar(prep, fs1: float) -> float:
+        """fs[16]: the keypoint-prefix count when the prep's partition was
+        computed at THIS frame's sample voxel size (fs[1]); 0 otherwise
+        (the device then runs the grid election)."""
+        if not prep:
+            return 0.0
+        kp_n = prep.get("kp_n", 0)
+        if kp_n > 0 and abs(prep.get("kp_voxel", 0.0) - fs1) < 1e-9:
+            return float(kp_n)
+        return 0.0
+
     def _prepare_device_scan(self, xyz, timestamps, info: FrameInfo, prep):
         """Packed device scan for the fused step (from prep when given)."""
         o = self.options
         if prep is not None:
-            if prep["scan_dev"] is None:   # prepared with upload=False
-                return jnp.asarray(prep["scan_host"]), prep["n"]
-            return prep["scan_dev"], prep["n"]
+            dev = (jnp.asarray(prep["scan_host"])
+                   if prep["scan_dev"] is None else prep["scan_dev"])
+            return (dev, prep["n"], prep.get("kp_n", 0),
+                    prep.get("kp_voxel", 0.0))
         cap = o.max_scan_points
         n = xyz.shape[0]
         if n > cap:
             sel = self.rng.choice(n, cap, replace=False)
             xyz, timestamps = xyz[sel], timestamps[sel]
             n = cap
+        kp_n, kp_voxel = 0, 0.0
+        if o.host_subsample:
+            perm = np.random.default_rng(
+                (0x5EED, info.frame_id)).permutation(xyz.shape[0])
+            xyz, timestamps = xyz[perm], timestamps[perm]
+            # keep the no-prep path consistent with prepare_frame: the
+            # fused program is compiled with host_prededuped and SKIPS the
+            # device subsample (and takes keypoints as a prefix slice), so
+            # the dedup + keypoint partition must happen here (same
+            # wire-quantized grid)
+            v = (o.init_voxel_size
+                 if info.registered_fid < o.init_num_frames else o.voxel_size)
+            q = np.rint(xyz * pl.SCAN_QUANT) / pl.SCAN_QUANT
+            keep = _host_voxel_dedup(q, v, o.max_subsampled_points)
+            xyz, timestamps = xyz[keep], timestamps[keep]
+            n = xyz.shape[0]
+            v_kp = (o.init_sample_voxel_size
+                    if info.registered_fid < o.init_num_frames
+                    else o.sample_voxel_size)
+            q = np.rint(xyz * pl.SCAN_QUANT) / pl.SCAN_QUANT
+            kp_first = _host_voxel_dedup(q, v_kp, o.max_keypoints)
+            mask = np.zeros(n, bool)
+            mask[kp_first] = True
+            order = np.concatenate([kp_first, np.nonzero(~mask)[0]])
+            xyz, timestamps = xyz[order], timestamps[order]
+            kp_n, kp_voxel = int(kp_first.shape[0]), float(v_kp)
         alphas = self._frame_alphas(timestamps, info)
         packed = pl.pack_scan_u16(xyz, alphas, n, pl.scan_rung(cap, n))
-        return jnp.asarray(packed), n
+        return jnp.asarray(packed), n, kp_n, kp_voxel
 
     def _pose_init_packed(self, frame: TrajectoryFrame) -> np.ndarray:
         return np.concatenate([
@@ -1378,7 +1464,8 @@ class Odometry:
         dispatch."""
         o = self.options
         k = info.registered_fid
-        scan_dev, n = self._prepare_device_scan(xyz, timestamps, info, prep)
+        scan_dev, n, kp_n, kp_voxel = self._prepare_device_scan(
+            xyz, timestamps, info, prep)
 
         attempt_opts = self._effective_icp_options(info)
         startup = k < o.init_num_frames
@@ -1451,6 +1538,9 @@ class Odometry:
                 # young-map insert budget (fs[15], see OdometryOptions)
                 float(o.bootstrap_insert_rounds)
                 if info.registered_fid < o.bootstrap_frames else 4.0,
+                (float(kp_n) if kp_n > 0
+                 and abs(kp_voxel - float(sample_voxel_size)) < 1e-9
+                 else 0.0),
             ], dtype=np.float32)
             self.map_state, packed, kp_dev, world_dev = self._frame_step(
                 self.map_state, scan_dev, jnp.int32(n),
@@ -1550,7 +1640,8 @@ class Odometry:
         """Single-dispatch frame registration (non-robust path)."""
         o = self.options
         k = info.registered_fid
-        scan_dev, n = self._prepare_device_scan(xyz, timestamps, info, prep)
+        scan_dev, n, kp_n, kp_voxel = self._prepare_device_scan(
+            xyz, timestamps, info, prep)
 
         frame = self.trajectory[k]
         summary = RegistrationSummary()
@@ -1584,9 +1675,10 @@ class Odometry:
             force_insert = 1.0
         if o.do_no_insert:
             force_insert = -1.0
+        fs1 = o.init_sample_voxel_size if startup else o.sample_voxel_size
         frame_scalars = np.asarray([
             o.init_voxel_size if startup else o.voxel_size,
-            o.init_sample_voxel_size if startup else o.sample_voxel_size,
+            fs1,
             o.max_distance,
             1.0 if k > 0 else 0.0,
             force_insert,
@@ -1600,6 +1692,8 @@ class Odometry:
             # young-map insert budget (fs[15], see OdometryOptions)
             float(o.bootstrap_insert_rounds)
             if k < o.bootstrap_frames else 4.0,
+            (float(kp_n) if kp_n > 0 and abs(kp_voxel - fs1) < 1e-9
+             else 0.0),
         ], dtype=np.float32)
 
         self.map_state, packed, kp_dev, world_dev = self._frame_step(

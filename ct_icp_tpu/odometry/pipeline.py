@@ -168,7 +168,8 @@ def _rungs(cap: int, smallest: int):
 
 
 def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
-                     distort_constant_velocity: bool):
+                     distort_constant_velocity: bool,
+                     host_prededuped: bool = False):
     """Traceable body of one odometry frame (shared by the fused and the
     streaming step): subsample -> keypoint grid sampling -> CT registration
     -> world transform -> assessment -> insertion decision -> prune+insert.
@@ -179,7 +180,7 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
     gather-bound candidate planes) — so a frame pays for the points it has,
     not for the static worst-case shapes.
 
-    frame_scalars layout (f32[16], fs[15] = insert election rounds):
+    frame_scalars layout (f32[17], fs[15] = insert election rounds, fs[16] = keypoint-prefix count or 0):
       0 voxel_size          1 sample_voxel_size    2 max_distance
       3 do_register(0/1)    4 force_insert(-1/0/1/2: -1 none, 0 heuristic,
                               1 force, 2 robust-gated — insert only when the
@@ -237,13 +238,26 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
         n = raw.shape[0]
         valid = jnp.arange(n, dtype=jnp.int32) < n_points
 
-        def do_preprocess(sz):
-            idx, ok, cnt = smp.voxel_subsample_indices(
-                raw[:sz], valid[:sz], fs[0], sub_capacity)
-            return raw[idx], alphas[idx], ok, cnt
+        if host_prededuped:
+            # the host already voxel-deduped the scan at fs[0]'s grid ON
+            # THE WIRE-QUANTIZED coords (odometry.prepare_frame /
+            # _prepare_device_scan), so the device election here would be
+            # an exact no-op (same truncation rule, same first-in-scan
+            # winner) — truncating the packed prefix replaces the whole
+            # scatter-min subsample stage (the scan-rung election was the
+            # third-largest stage of the frame)
+            sub_raw = raw[:sub_capacity]
+            sub_alphas = alphas[:sub_capacity]
+            sub_valid = valid[:sub_capacity]
+            sub_cnt = jnp.minimum(n_points, jnp.int32(sub_capacity))
+        else:
+            def do_preprocess(sz):
+                idx, ok, cnt = smp.voxel_subsample_indices(
+                    raw[:sz], valid[:sz], fs[0], sub_capacity)
+                return raw[idx], alphas[idx], ok, cnt
 
-        sub_raw, sub_alphas, sub_valid, sub_cnt = _ladder(
-            n_points, _rungs(n, 32768), do_preprocess)
+            sub_raw, sub_alphas, sub_valid, sub_cnt = _ladder(
+                n_points, _rungs(n, 32768), do_preprocess)
         if distort_constant_velocity:
             sub_raw = distort_raw(sub_raw, sub_alphas, qb0, tb0, qe0, te0)
 
@@ -254,8 +268,26 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
                 sub_raw[:sz], sub_valid[:sz], fs[1], kp_capacity)
             return sub_raw[idx], sub_alphas[idx], ok, cnt
 
-        kp_raw, kp_alphas, kp_valid, kp_cnt = _ladder(
-            sub_cnt, sub_rungs, do_sample)
+        if host_prededuped:
+            # KEYPOINT PREFIX (fs[16] > 0): prepare_frame stable-partitioned
+            # the deduped scan so the fs[1]-grid winners are the first
+            # fs[16] rows — the election result as a static slice. fs[16]
+            # is 0 when the frame's sample voxel size differs from the
+            # partition's (robust escalation shrinks it per attempt), and
+            # the full election runs instead.
+            def kp_prefix():
+                kc = jnp.minimum(fs[16].astype(jnp.int32),
+                                 jnp.int32(kp_capacity))
+                kv = jnp.arange(kp_capacity, dtype=jnp.int32) < kc
+                return (sub_raw[:kp_capacity], sub_alphas[:kp_capacity],
+                        kv, kc)
+
+            kp_raw, kp_alphas, kp_valid, kp_cnt = jax.lax.cond(
+                fs[16] > 0, kp_prefix,
+                lambda: _ladder(sub_cnt, sub_rungs, do_sample))
+        else:
+            kp_raw, kp_alphas, kp_valid, kp_cnt = _ladder(
+                sub_cnt, sub_rungs, do_sample)
 
         # ---- pre-gather residual-cap decimation. The solver keeps at most
         # max_num_residuals rows by uniform-stride decimation over the valid
@@ -371,7 +403,8 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
 
 @functools.lru_cache(maxsize=16)
 def make_frame_step_fn(map_options, statics, sub_capacity: int,
-                       max_dirty: int, distort_constant_velocity: bool):
+                       max_dirty: int, distort_constant_velocity: bool,
+                       host_prededuped: bool = False):
     """One fused XLA program for a whole odometry frame (non-robust path).
 
     Single dispatch with the map donated: the host exchanges only the scan
@@ -380,7 +413,7 @@ def make_frame_step_fn(map_options, statics, sub_capacity: int,
     :func:`_make_frame_core` for the body and scalar layouts.
     """
     core = _make_frame_core(map_options, statics, sub_capacity, max_dirty,
-                            distort_constant_velocity)
+                            distort_constant_velocity, host_prededuped)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def frame_step(map_state, scan_packed, n_points, pose_init, prior,
@@ -416,7 +449,8 @@ def _make_stream_body(map_options, statics, sub_capacity: int,
                       max_dirty: int, distort_constant_velocity: bool,
                       const_velocity: bool, continuous: bool,
                       always_insert: bool, do_no_insert: bool,
-                      robust_gated: bool = False):
+                      robust_gated: bool = False,
+                      host_prededuped: bool = False):
     """Traceable per-frame streaming body shared by the single-frame step and
     the multi-frame megastep:
       (map_state, odo_state, scan_packed, n, betas, dyn, fs)
@@ -429,7 +463,7 @@ def _make_stream_body(map_options, statics, sub_capacity: int,
     from ct_icp_tpu.core import se3 as s3
 
     core = _make_frame_core(map_options, statics, sub_capacity, max_dirty,
-                            distort_constant_velocity)
+                            distort_constant_velocity, host_prededuped)
 
     def stream_body(map_state, odo_state, scan_packed, n_points, prior_betas,
                     dyn_packed, frame_scalars):
@@ -511,7 +545,8 @@ def make_streaming_step_fn(map_options, statics, sub_capacity: int,
                            max_dirty: int, distort_constant_velocity: bool,
                            const_velocity: bool, continuous: bool,
                            always_insert: bool, do_no_insert: bool,
-                           robust_gated: bool = False):
+                           robust_gated: bool = False,
+                           host_prededuped: bool = False):
     """Device-resident odometry step: motion initialization, motion-model
     prior and the insertion tracker live in device state (``odo_state``), so
     dispatching frame k needs NOTHING from frame k-1's results on the host.
@@ -527,7 +562,7 @@ def make_streaming_step_fn(map_options, statics, sub_capacity: int,
     body = _make_stream_body(map_options, statics, sub_capacity, max_dirty,
                              distort_constant_velocity, const_velocity,
                              continuous, always_insert, do_no_insert,
-                             robust_gated)
+                             robust_gated, host_prededuped)
     return functools.partial(jax.jit, donate_argnums=(0, 1))(body)
 
 
@@ -537,7 +572,8 @@ def make_multi_step_fn(map_options, statics, sub_capacity: int,
                        const_velocity: bool, continuous: bool,
                        always_insert: bool, do_no_insert: bool, batch: int,
                        robust_gated: bool = False,
-                       with_checkpoint: bool = False):
+                       with_checkpoint: bool = False,
+                       host_prededuped: bool = False):
     """K frames of streaming odometry in ONE dispatch (lax.scan over the
     batch): one upload of K packed scans, one readback of K packed results —
     the per-frame dispatch tax and readback round-trip amortize K-fold
@@ -557,7 +593,7 @@ def make_multi_step_fn(map_options, statics, sub_capacity: int,
     body = _make_stream_body(map_options, statics, sub_capacity, max_dirty,
                              distort_constant_velocity, const_velocity,
                              continuous, always_insert, do_no_insert,
-                             robust_gated)
+                             robust_gated, host_prededuped)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def multi_step(map_state, odo_state, scans, ns, prior_betas, dyns, fss):
