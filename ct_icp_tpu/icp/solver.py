@@ -432,15 +432,16 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
     zero = jnp.zeros((12,), dtype=raw.dtype)
 
     def cond(carry):
-        it = carry[0]
-        return it < jnp.minimum(dyn.ls_max_num_iters, MAX_INNER_ITERS)
+        it, done = carry[0], carry[7]
+        return (it < jnp.minimum(dyn.ls_max_num_iters, MAX_INNER_ITERS)) \
+            & ~done
 
     use_analytic = (statics.analytic_jacobian
                     and statics.solver != Solver.ROBUST
                     and statics.num_closest_neighbors <= 1)
 
     def body(carry):
-        it, q0, t0, q1, t1, lam, _ = carry
+        it, q0, t0, q1, t1, lam, _, _ = carry
 
         if use_analytic:
             # one world transform serves residual AND Jacobian; the pose
@@ -506,15 +507,22 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
         cost1 = total_cost(delta, q0, t0, q1, t1)
         accept = cost1 < cost0
         best = jnp.where(accept, cost1, cost0)
+        # ceres::Solve convergence (the reference's LS backend): stop when
+        # an ACCEPTED step's relative cost decrease falls below
+        # function_tolerance (Ceres default 1e-6, solver.h). Without this
+        # the loop burned every ls_max_num_iters (the robust regimen's 20)
+        # on converged problems — measured 6 ms/frame of pure waste at
+        # robust shapes with zero accuracy impact.
+        done = accept & (cost0 - cost1 <= 1e-6 * (cost0 + 1e-30))
         q0, t0, q1, t1 = res.apply_delta(
             jnp.where(accept, delta, zero), q0, t0, q1, t1)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
                         jnp.minimum(lam * 4.0, 1e4))
-        return it + 1, q0, t0, q1, t1, lam, best
+        return it + 1, q0, t0, q1, t1, lam, best, done
 
     init = (jnp.int32(0), qb, tb, qe, te, jnp.asarray(1e-4, raw.dtype),
-            jnp.asarray(jnp.inf, raw.dtype))
-    _, q0, t0, q1, t1, _, cost = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(jnp.inf, raw.dtype), jnp.asarray(False))
+    _, q0, t0, q1, t1, _, cost, _ = jax.lax.while_loop(cond, body, init)
     return q0, t0, q1, t1, cost, n_res
 
 
