@@ -66,31 +66,81 @@ def make_prior(previous_frame: Optional[TrajectoryFrame], motion_options,
 import functools
 
 
-@functools.lru_cache(maxsize=16)
-def _profiled_phase_fns(statics):
-    """Jitted (neighborhood+descriptor, LM solve) phase kernels for the
-    profiled registration path — the same _build_problem/_lm_inner_loop the
-    fused solver uses, dispatched separately so each phase has a sync point."""
+@dataclasses.dataclass
+class StagedLoopResult:
+    """Result + phase wall times of :func:`staged_register_loop`."""
+
+    quat_begin: np.ndarray = None
+    tr_begin: np.ndarray = None
+    quat_end: np.ndarray = None
+    tr_end: np.ndarray = None
+    num_residuals: int = 0
+    num_iters: int = 0
+    converged: bool = False
+    valid_problem: bool = True
+    duration_init_ms: float = 0.0
+    neighborhood_ms: float = 0.0     # total over iterations
+    solve_ms: float = 0.0            # total over iterations
+
+
+def staged_register_loop(statics, level, raw_dev, alphas_dev, valid_dev,
+                         qb, tb, qe, te, prior_dev, dyn_dev,
+                         num_iters_icp: int,
+                         min_number_neighbors: int) -> StagedLoopResult:
+    """Host-driven outer ICP loop over the PRODUCTION iteration body.
+
+    Runs solver.build_staged_fns' phase kernels — jitted pieces of the same
+    _loop_pieces body the fused while_loop/unroll program executes — with a
+    device sync between the association and optimization phases, so the
+    reference ICPSummary durations (ct_icp.h:155-169, filled at
+    ct_icp.cpp:664-694) are real per-phase wall times of the production
+    semantics. The loop condition mirrors the fused cond
+    (it < num_iters_icp and not converged); the body is pure, so this
+    reproduces the exact production iteration sequence (candidate-cache
+    regathers included).
+    """
+    import time
+
     import jax
 
-    @jax.jit
-    def build(level, raw, alphas, valid, qb, tb, qe, te, dyn_packed):
-        dyn = slv.unpack_dynamics(dyn_packed)
-        anchors, normals, lines, cov_inv, geom_w, ok, cls, _ = \
-            slv._build_problem(statics, dyn, level, raw, alphas, valid,
-                               qb, tb, qe, te, te)
-        return anchors, normals, lines, cov_inv, geom_w, ok, cls
+    out = StagedLoopResult()
+    t0 = time.time()
+    stage_init, stage_build, stage_solve = slv.build_staged_fns(statics)
+    carry, r_max = jax.block_until_ready(
+        stage_init(raw_dev, valid_dev, qb, tb, qe, te))
+    sensor_location = te  # fused path captures the INITIAL end translation
+    out.duration_init_ms = (time.time() - t0) * 1000.0
 
-    @jax.jit
-    def solve(raw, alphas, anchors, normals, lines, cov_inv, geom_w, ok, cls,
-              qb, tb, qe, te, prior_packed, dyn_packed):
-        dyn = slv.unpack_dynamics(dyn_packed)
-        prior = slv.unpack_prior(prior_packed)
-        return slv._lm_inner_loop(statics, dyn, raw, alphas, anchors, normals,
-                                  lines, cov_inv, geom_w, ok, cls,
-                                  qb, tb, qe, te, prior)
+    max_outer = int(num_iters_icp)
+    if statics.unroll_iters > 0:
+        max_outer = min(max_outer, statics.unroll_iters)
+    it = 0
+    while it < max_outer:
+        t1 = time.time()
+        problem, a_tr, a_q = jax.block_until_ready(stage_build(
+            carry, level, raw_dev, alphas_dev, valid_dev, dyn_dev,
+            sensor_location, r_max))
+        t2 = time.time()
+        carry = jax.block_until_ready(stage_solve(
+            carry, problem, a_tr, a_q, raw_dev, alphas_dev, dyn_dev,
+            prior_dev))
+        t3 = time.time()
+        out.neighborhood_ms += (t2 - t1) * 1000.0
+        out.solve_ms += (t3 - t2) * 1000.0
+        it += 1
+        if bool(carry[6]):   # converged (includes the not-enough freeze)
+            break
 
-    return build, solve
+    out.quat_begin = s3n.quat_normalize(np.asarray(carry[1], np.float64))
+    out.tr_begin = np.asarray(carry[2], np.float64)
+    out.quat_end = s3n.quat_normalize(np.asarray(carry[3], np.float64))
+    out.tr_end = np.asarray(carry[4], np.float64)
+    out.num_iters = int(carry[0])
+    out.converged = bool(carry[6])
+    out.num_residuals = int(carry[7])
+    out.valid_problem = bool(carry[8]) if it > 0 else True
+    del min_number_neighbors  # the body already applies the freeze
+    return out
 
 
 class CTICPRegistration:
@@ -297,12 +347,14 @@ class CTICPRegistration:
 
         The hot path fuses search + solve into one XLA program, which is the
         point of the TPU design — but it also makes per-phase durations
-        unmeasurable there. This variant drives the SAME jitted phase
-        kernels (_build_problem / _lm_inner_loop) from a host loop with a
-        sync point per phase, so ``duration_init``, ``avg_duration_iter``,
+        unmeasurable there. This variant drives
+        :func:`staged_register_loop`: the SAME outer-loop body the fused
+        program runs (solver._loop_pieces — single source, the paths cannot
+        diverge), jitted as per-phase kernels with a sync point each, so
+        ``duration_init``, ``avg_duration_iter``,
         ``avg_duration_neighborhood`` and ``avg_duration_solve`` are real
-        wall times (ms). Each sync costs a device round trip: use for
-        observability, not throughput.
+        wall times (ms) of the production semantics. Each sync costs a
+        device round trip: use for observability, not throughput.
         """
         import time
 
@@ -311,7 +363,7 @@ class CTICPRegistration:
         t0 = time.time()
         origin = np.zeros(3) if origin is None else np.asarray(origin)
         opts = options or self.options
-        dyn_packed = jnp.asarray(self.dynamics(opts))
+        dyn_dev = jnp.asarray(self.dynamics(opts))
         if prior is None:
             prior = make_prior(None, None, origin)
         prior_dev = jnp.asarray(prior)
@@ -321,62 +373,35 @@ class CTICPRegistration:
         qe = jnp.asarray(s3n.quat_normalize(frame.end_pose.quat), jnp.float32)
         te = jnp.asarray(frame.end_pose.tr - origin, jnp.float32)
         level = map_state.levels[self.level_index]
-        build, solve = _profiled_phase_fns(self.statics)
         jax.block_until_ready((raw_dev, alphas_dev, valid_dev))
-        summary = ICPSummary()
-        summary.duration_init = (time.time() - t0) * 1000.0
 
-        t_neigh = t_solve = 0.0
-        n_res = 0
-        iters = 0
-        converged = False
-        for it in range(int(opts.num_iters_icp)):
-            t1 = time.time()
-            problem = jax.block_until_ready(build(
-                level, raw_dev, alphas_dev, valid_dev, qb, tb, qe, te,
-                dyn_packed))
-            t2 = time.time()
-            nqb, ntb, nqe, nte, cost, n_res_dev = jax.block_until_ready(solve(
-                raw_dev, alphas_dev, *problem, qb, tb, qe, te, prior_dev,
-                dyn_packed))
-            t3 = time.time()
-            t_neigh += t2 - t1
-            t_solve += t3 - t2
-            iters += 1
-            n_res = int(n_res_dev)
-            if n_res < int(opts.min_number_neighbors):
-                break
-            diff_rot = (s3n.angular_distance_deg(np.asarray(qb), np.asarray(nqb))
-                        + s3n.angular_distance_deg(np.asarray(qe),
-                                                   np.asarray(nqe)))
-            diff_tr = (np.linalg.norm(np.asarray(tb) - np.asarray(ntb))
-                       + np.linalg.norm(np.asarray(te) - np.asarray(nte)))
-            qb, tb, qe, te = nqb, ntb, nqe, nte
-            if (diff_rot < opts.threshold_orientation_norm
-                    and diff_tr < opts.threshold_translation_norm):
-                converged = True
-                break
+        r = staged_register_loop(
+            self.statics, level, raw_dev, alphas_dev, valid_dev,
+            qb, tb, qe, te, prior_dev, dyn_dev,
+            num_iters_icp=int(opts.num_iters_icp),
+            min_number_neighbors=int(opts.min_number_neighbors))
 
-        frame.begin_pose.quat = np.asarray(qb, np.float64)
-        frame.begin_pose.tr = np.asarray(tb, np.float64) + origin
-        frame.end_pose.quat = np.asarray(qe, np.float64)
-        frame.end_pose.tr = np.asarray(te, np.float64) + origin
+        frame.begin_pose.quat = r.quat_begin
+        frame.begin_pose.tr = r.tr_begin + origin
+        frame.end_pose.quat = r.quat_end
+        frame.end_pose.tr = r.tr_end + origin
         frame.begin_pose.normalize_()
         frame.end_pose.normalize_()
 
-        summary.num_iters = iters
-        summary.num_residuals_used = n_res
-        summary.success = n_res >= int(opts.min_number_neighbors)
+        summary = ICPSummary()
+        summary.duration_init = r.duration_init_ms
+        summary.num_iters = r.num_iters
+        summary.num_residuals_used = r.num_residuals
+        summary.success = r.valid_problem
         if not summary.success:
             summary.error_log = (
                 f"[CT_ICP] Error : not enough keypoints selected in ct-icp ! "
-                f"number_of_residuals : {n_res}")
-        k = max(iters, 1)
-        summary.avg_duration_neighborhood = t_neigh / k * 1000.0
-        summary.avg_duration_solve = t_solve / k * 1000.0
-        summary.avg_duration_iter = (t_neigh + t_solve) / k * 1000.0
+                f"number_of_residuals : {r.num_residuals}")
+        k = max(r.num_iters, 1)
+        summary.avg_duration_neighborhood = r.neighborhood_ms / k
+        summary.avg_duration_solve = r.solve_ms / k
+        summary.avg_duration_iter = (r.neighborhood_ms + r.solve_ms) / k
         summary.duration_total = (time.time() - t0) * 1000.0
-        del converged
         return summary
 
     def register(self, map_state: vm.MapState,

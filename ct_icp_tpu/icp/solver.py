@@ -561,6 +561,105 @@ def unpack_prior(packed):
     return out
 
 
+def _loop_pieces(statics: SolverStatics):
+    """The outer-ICP-loop pieces shared by the fused program
+    (:func:`build_register_fn`: lax.while_loop / unroll) and the staged
+    profiled path (:func:`build_staged_fns`: one dispatch per phase, driven
+    from the host with a sync point between phases).
+
+    SINGLE SOURCE for the iteration semantics: any change to the production
+    loop body (cache/regather policy, convergence, residual freezing) flows
+    into the profiled path automatically — the two cannot diverge (the
+    round-3 failure mode where a re-implemented profiled loop missed the
+    fused path's semantics changes).
+
+    Carry layout (13 fields):
+      0 it  1..4 qb,tb,qe,te  5 cost  6 converged  7 n_res  8 enough
+      9 last_cost  10 cached candidate planes (None before the first
+      gather in ball mode; () otherwise)  11 anchor_tr  12 anchor_q
+    """
+
+    def init_carry(raw, qb, tb, qe, te):
+        zero_planes = None if statics.ball_neighborhood else ()
+        return (jnp.int32(0), qb, tb, qe, te,
+                jnp.asarray(jnp.inf, raw.dtype), jnp.asarray(False),
+                jnp.int32(0), jnp.asarray(True),
+                jnp.asarray(jnp.inf, raw.dtype),
+                zero_planes, te + 1e9, jnp.stack([qe, qb]))
+
+    def stage_build(carry, level, raw, alphas, valid, dyn, sensor_location,
+                    r_max):
+        """Association phase (the reference's per-iteration neighborhood
+        search, ct_icp.cpp:561-604): candidate gather / cache re-score +
+        descriptors + weights at the current pose estimate."""
+        it, cqb, ctb, cqe, cte = carry[0], carry[1], carry[2], carry[3], \
+            carry[4]
+        planes, anchor_tr, anchor_q = carry[10], carry[11], carry[12]
+        if statics.ball_neighborhood:
+            # regather when the pose moved more than half a voxel since
+            # the cached gather — including ROTATION, which displaces a
+            # keypoint at distance r by ~r*dtheta (a sustained 4 deg/
+            # frame corner moves 40 m points by 2.8 m while the
+            # translation test alone stays quiet; measured runaway ego
+            # rotation and 39 consecutive frame failures on the long-
+            # drive corner before this term existed)
+            moved_tr = jnp.linalg.norm(cte - anchor_tr) \
+                > 0.5 * dyn.voxel_resolution
+            dtheta = jnp.maximum(
+                s3.angular_distance_deg(cqe, anchor_q[0]),
+                s3.angular_distance_deg(cqb, anchor_q[1])) \
+                * (jnp.pi / 180.0)
+            moved_rot = dtheta * r_max > 0.5 * dyn.voxel_resolution
+            do_gather = (it < dyn.regather_iters) | moved_tr | moved_rot
+            problem = _build_problem(statics, dyn, level, raw, alphas, valid,
+                                     cqb, ctb, cqe, cte, sensor_location,
+                                     cached_planes=planes,
+                                     do_gather=do_gather)
+            anchor_tr = jnp.where(do_gather, cte, anchor_tr)
+            anchor_q = jnp.where(do_gather, jnp.stack([cqe, cqb]), anchor_q)
+        else:
+            problem = _build_problem(statics, dyn, level, raw, alphas, valid,
+                                     cqb, ctb, cqe, cte, sensor_location)
+            anchor_q = jnp.stack([cqe, cqb])
+        return problem, anchor_tr, anchor_q
+
+    def stage_solve(carry, problem, anchor_tr, anchor_q, raw, alphas, dyn,
+                    prior):
+        """Optimization phase (ceres::Solve + convergence test,
+        ct_icp.cpp:632-676) producing the next outer-loop carry."""
+        it, cqb, ctb, cqe, cte = carry[0], carry[1], carry[2], carry[3], \
+            carry[4]
+        anchors, normals, lines, cov_inv, geom_w, ok, cls, planes = problem
+        nqb, ntb, nqe, nte, cost, n_res = _lm_inner_loop(
+            statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
+            geom_w, ok, cls, cqb, ctb, cqe, cte, prior)
+        # not enough residuals: freeze the state, fail the problem
+        enough = n_res >= dyn.min_number_neighbors
+        nqb = jnp.where(enough, nqb, cqb)
+        ntb = jnp.where(enough, ntb, ctb)
+        nqe = jnp.where(enough, nqe, cqe)
+        nte = jnp.where(enough, nte, cte)
+
+        diff_rot = (s3.angular_distance_deg(cqb, nqb)
+                    + s3.angular_distance_deg(cqe, nqe))
+        diff_trans = (jnp.linalg.norm(ctb - ntb)
+                      + jnp.linalg.norm(cte - nte))
+        converged = ((diff_rot < dyn.threshold_orientation_norm)
+                     & (diff_trans < dyn.threshold_translation_norm))
+        converged = converged | ~enough
+        return (it + 1, nqb, ntb, nqe, nte, cost, converged, n_res,
+                enough, cost, planes, anchor_tr, anchor_q)
+
+    def body(carry, level, raw, alphas, valid, dyn, prior, sensor_location,
+             r_max):
+        problem, a_tr, a_q = stage_build(carry, level, raw, alphas, valid,
+                                         dyn, sensor_location, r_max)
+        return stage_solve(carry, problem, a_tr, a_q, raw, alphas, dyn,
+                           prior)
+
+    return init_carry, stage_build, stage_solve, body
+
+
 def build_register_fn(statics: SolverStatics):
     """Compile-time specialization of the full registration loop.
 
@@ -589,6 +688,8 @@ def build_register_fn(statics: SolverStatics):
                 f"num_closest_neighbors={statics.num_closest_neighbors} "
                 f"exceeds max_number_neighbors={statics.max_neighbors}")
 
+    init_carry, _, _, shared_body = _loop_pieces(statics)
+
     def register(level, raw, alphas, valid, qb, tb, qe, te, prior, dyn):
         if not isinstance(dyn, SolverDynamics):
             dyn = unpack_dynamics(dyn)
@@ -598,90 +699,41 @@ def build_register_fn(statics: SolverStatics):
         qe = s3.quat_normalize(qe)
         sensor_location = te  # reference passes &end_t (ct_icp.cpp:592)
 
-        if statics.ball_neighborhood:
-            # candidate-plane cache across ICP iterations: fresh gathers only
-            # for the first dyn.regather_iters iterations (and whenever the
-            # pose moved more than half a voxel since the last gather).
-            # Cached as raw rows + per-voxel counts — the compact layout
-            # keeps the while_loop carry (and its per-iteration select
-            # through lax.cond) ~3.5x smaller than per-point planes.
-            # the cache arrays are created by the PEELED first iteration
-            # below (a fresh gather), not zero-initialized: materializing
-            # the [K, O, 3P] zeros (up to ~24 MB at full rungs) and
-            # selecting them through the first iteration's lax.cond was
-            # pure HBM traffic
-            zero_planes = None
-        else:
-            zero_planes = ()
+        # candidate-plane cache across ICP iterations (ball mode): fresh
+        # gathers only for the first dyn.regather_iters iterations (and
+        # whenever the pose moved more than half a voxel since the last
+        # gather). Cached as raw rows + per-voxel counts — the compact
+        # layout keeps the while_loop carry (and its per-iteration select
+        # through lax.cond) ~3.5x smaller than per-point planes. The cache
+        # arrays are created by the PEELED first iteration below (a fresh
+        # gather), not zero-initialized: materializing the [K, O, 3P] zeros
+        # (up to ~24 MB at full rungs) and selecting them through the first
+        # iteration's lax.cond was pure HBM traffic.
+        # The loop body itself is SHARED with the staged profiled path
+        # (see _loop_pieces).
 
         def cond(carry):
             it, converged = carry[0], carry[6]
             return (it < dyn.num_iters_icp) & ~converged
 
         def body(carry):
-            (it, cqb, ctb, cqe, cte, _, _, _, _, _, planes,
-             anchor_tr, anchor_q) = carry
-            if statics.ball_neighborhood:
-                # regather when the pose moved more than half a voxel since
-                # the cached gather — including ROTATION, which displaces a
-                # keypoint at distance r by ~r*dtheta (a sustained 4 deg/
-                # frame corner moves 40 m points by 2.8 m while the
-                # translation test alone stays quiet; measured runaway ego
-                # rotation and 39 consecutive frame failures on the long-
-                # drive corner before this term existed)
-                moved_tr = jnp.linalg.norm(cte - anchor_tr) \
-                    > 0.5 * dyn.voxel_resolution
-                dtheta = jnp.maximum(
-                    s3.angular_distance_deg(cqe, anchor_q[0]),
-                    s3.angular_distance_deg(cqb, anchor_q[1])) \
-                    * (jnp.pi / 180.0)
-                moved_rot = dtheta * r_max > 0.5 * dyn.voxel_resolution
-                do_gather = (it < dyn.regather_iters) | moved_tr | moved_rot
-                anchors, normals, lines, cov_inv, geom_w, ok, cls, planes = \
-                    _build_problem(statics, dyn, level, raw, alphas, valid,
-                                   cqb, ctb, cqe, cte, sensor_location,
-                                   cached_planes=planes, do_gather=do_gather)
-                anchor_tr = jnp.where(do_gather, cte, anchor_tr)
-                anchor_q = jnp.where(do_gather,
-                                     jnp.stack([cqe, cqb]), anchor_q)
-            else:
-                anchors, normals, lines, cov_inv, geom_w, ok, cls, _ = \
-                    _build_problem(statics, dyn, level, raw, alphas, valid,
-                                   cqb, ctb, cqe, cte, sensor_location)
-                anchor_q = jnp.stack([cqe, cqb])
-            nqb, ntb, nqe, nte, cost, n_res = _lm_inner_loop(
-                statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
-                geom_w, ok, cls, cqb, ctb, cqe, cte, prior)
-            # not enough residuals: freeze the state, fail the problem
-            enough = n_res >= dyn.min_number_neighbors
-            nqb = jnp.where(enough, nqb, cqb)
-            ntb = jnp.where(enough, ntb, ctb)
-            nqe = jnp.where(enough, nqe, cqe)
-            nte = jnp.where(enough, nte, cte)
-
-            diff_rot = (s3.angular_distance_deg(cqb, nqb)
-                        + s3.angular_distance_deg(cqe, nqe))
-            diff_trans = (jnp.linalg.norm(ctb - ntb)
-                          + jnp.linalg.norm(cte - nte))
-            converged = ((diff_rot < dyn.threshold_orientation_norm)
-                         & (diff_trans < dyn.threshold_translation_norm))
-            converged = converged | ~enough
-            return (it + 1, nqb, ntb, nqe, nte, cost, converged, n_res,
-                    enough, cost, planes, anchor_tr, anchor_q)
+            return shared_body(carry, level, raw, alphas, valid, dyn, prior,
+                               sensor_location, r_max)
 
         # farthest keypoint distance: converts a rotation since the last
         # gather into its worst-case point displacement (cache validity)
         r_max = jnp.max(jnp.where(valid, jnp.linalg.norm(raw, axis=-1), 0.0))
-        init = (jnp.int32(0), qb, tb, qe, te,
-                jnp.asarray(jnp.inf, raw.dtype), jnp.asarray(False),
-                jnp.int32(0), jnp.asarray(True), jnp.asarray(jnp.inf, raw.dtype),
-                zero_planes, te + 1e9, jnp.stack([qe, qb]))
+        init = init_carry(raw, qb, tb, qe, te)
         # PEEL iteration 0: its gather is unconditional (the cache cannot
         # be warm yet), so running it outside the loop creates the cache
         # arrays directly — no zero-init, no first-iteration cond select.
         # When num_iters_icp <= 0 (frame 0's passthrough), the peeled
-        # update is discarded below (cheap: selects only the pose-sized
-        # fields; the unread cache arrays pass through untouched).
+        # update is discarded below (selects only the pose-sized fields;
+        # the unread cache arrays pass through untouched). Note the peel's
+        # gather + LM inner loop still EXECUTE at runtime for passthrough
+        # frames (results discarded) — acceptable because passthrough is
+        # frame 0 only; a dyn-gated skip would reintroduce the lax.cond
+        # select over the cache arrays this peel exists to avoid.
         peeled = body(init)
         skip = dyn.num_iters_icp <= 0
         carry1 = tuple(
@@ -721,3 +773,48 @@ def build_register_fn(statics: SolverStatics):
 @functools.lru_cache(maxsize=64)
 def jitted_register_fn(statics: SolverStatics):
     return jax.jit(build_register_fn(statics))
+
+
+@functools.lru_cache(maxsize=64)
+def build_staged_fns(statics: SolverStatics):
+    """Jitted per-phase kernels of the SAME outer-loop body the fused
+    program runs (:func:`_loop_pieces`), for the profiled registration path:
+    one dispatch per phase gives each a sync point, so the measured
+    durations are real wall times of the production iteration semantics.
+    Returns (stage_init, stage_build, stage_solve):
+
+      stage_init(raw, valid, qb, tb, qe, te) -> (carry0, r_max)
+      stage_build(carry, level, raw, alphas, valid, dyn_packed,
+                  sensor_location, r_max) -> (problem, anchor_tr, anchor_q)
+      stage_solve(carry, problem, anchor_tr, anchor_q, raw, alphas,
+                  dyn_packed, prior_packed) -> carry
+
+    The host loop applying these with the fused path's cond
+    (it < num_iters_icp and not converged) reproduces the production
+    while_loop/unroll iteration sequence exactly — the body is pure, so
+    masked (unroll) vs skipped (host) converged iterations are equivalent.
+    """
+    init_carry, stage_build_, stage_solve_, _ = _loop_pieces(statics)
+
+    @jax.jit
+    def stage_init(raw, valid, qb, tb, qe, te):
+        qb = s3.quat_normalize(qb)
+        qe = s3.quat_normalize(qe)
+        r_max = jnp.max(jnp.where(valid, jnp.linalg.norm(raw, axis=-1), 0.0))
+        return init_carry(raw, qb, tb, qe, te), r_max
+
+    @jax.jit
+    def stage_build(carry, level, raw, alphas, valid, dyn_packed,
+                    sensor_location, r_max):
+        return stage_build_(carry, level, raw, alphas, valid,
+                            unpack_dynamics(dyn_packed), sensor_location,
+                            r_max)
+
+    @jax.jit
+    def stage_solve(carry, problem, anchor_tr, anchor_q, raw, alphas,
+                    dyn_packed, prior_packed):
+        return stage_solve_(carry, problem, anchor_tr, anchor_q, raw, alphas,
+                            unpack_dynamics(dyn_packed),
+                            unpack_prior(prior_packed))
+
+    return stage_init, stage_build, stage_solve

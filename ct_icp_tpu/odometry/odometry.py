@@ -168,9 +168,13 @@ class Odometry:
         # regimen reuses it per attempt with insertion deferred)
         self._fused_available = (options.sampling == SamplingOption.GRID
                                  and options.max_num_keypoints <= 0)
+        # profile_registration keeps the fused path: the profiled frame
+        # commits the PRODUCTION fused-step result (estimates bit-identical
+        # to the non-profiled path by construction) and fills the ICPSummary
+        # phase durations from a staged replay of the same solver body
+        # (_profile_replay)
         self._use_fused = (not options.robust_registration
-                           and self._fused_available
-                           and not options.profile_registration)
+                           and self._fused_available)
         self._frame_step = None
         if self._use_fused or self._fused_available:
             self._frame_step = pl.make_frame_step_fn(
@@ -310,7 +314,15 @@ class Odometry:
             cap = min(cap, o.max_subsampled_points)
         kp_n, kp_voxel = 0, 0.0
         import os as _os
-        if self.options.host_subsample and not _os.environ.get("CT_NO_KP_PREFIX"):
+        if (self.options.host_subsample
+                and self.options.motion_compensation
+                != MotionCompensation.CONSTANT_VELOCITY
+                and not _os.environ.get("CT_NO_KP_PREFIX")):
+            # CONSTANT_VELOCITY distorts the sub-frame on device BEFORE the
+            # keypoint election (reference DistortFrame -> grid_sampling,
+            # odometry.cpp:367,538); a host prefix elected on undistorted
+            # coords would silently diverge from both — skip the prefix and
+            # let the device election run (round-3 advisor finding)
             # KEYPOINT PREFIX: stable-partition the deduped scan so the
             # grid-sample winners (first-in-scan-order per fs[1]-voxel, the
             # exact election the device stage runs) come first. The device
@@ -471,7 +483,16 @@ class Odometry:
                     jnp.float32(rp.min_distance_between_points),
                     jnp.asarray(btr),
                     max_dirty=self.options.max_dirty_voxels,
-                    with_normals=self.registration.statics.use_normal_filter)
+                    with_normals=self.registration.statics.use_normal_filter,
+                    # refill budget: the evicted voxels start EMPTY, so the
+                    # steady-state election cap of 4/voxel/frame would thin
+                    # long-accumulated density each refinement period
+                    # (round-3 advisor finding). 12 matches the bootstrap
+                    # budget; points contributed by frames outside the
+                    # retention ring remain unrecoverable — keep
+                    # backend.window <= map max_frames_to_keep so the ring
+                    # covers the evicted mass.
+                    max_rounds=12)
                 total += int(n_ins)
         self.map_state = vm.MapState(levels=tuple(levels))
         return total
@@ -1428,16 +1449,20 @@ class Odometry:
             keep = _host_voxel_dedup(q, v, o.max_subsampled_points)
             xyz, timestamps = xyz[keep], timestamps[keep]
             n = xyz.shape[0]
-            v_kp = (o.init_sample_voxel_size
-                    if info.registered_fid < o.init_num_frames
-                    else o.sample_voxel_size)
-            q = np.rint(xyz * pl.SCAN_QUANT) / pl.SCAN_QUANT
-            kp_first = _host_voxel_dedup(q, v_kp, o.max_keypoints)
-            mask = np.zeros(n, bool)
-            mask[kp_first] = True
-            order = np.concatenate([kp_first, np.nonzero(~mask)[0]])
-            xyz, timestamps = xyz[order], timestamps[order]
-            kp_n, kp_voxel = int(kp_first.shape[0]), float(v_kp)
+            if (o.motion_compensation
+                    != MotionCompensation.CONSTANT_VELOCITY):
+                # see prepare_frame: no host keypoint prefix when the device
+                # distorts before the election (round-3 advisor finding)
+                v_kp = (o.init_sample_voxel_size
+                        if info.registered_fid < o.init_num_frames
+                        else o.sample_voxel_size)
+                q = np.rint(xyz * pl.SCAN_QUANT) / pl.SCAN_QUANT
+                kp_first = _host_voxel_dedup(q, v_kp, o.max_keypoints)
+                mask = np.zeros(n, bool)
+                mask[kp_first] = True
+                order = np.concatenate([kp_first, np.nonzero(~mask)[0]])
+                xyz, timestamps = xyz[order], timestamps[order]
+                kp_n, kp_voxel = int(kp_first.shape[0]), float(v_kp)
         alphas = self._frame_alphas(timestamps, info)
         packed = pl.pack_scan_u16(xyz, alphas, n, pl.scan_rung(cap, n))
         return jnp.asarray(packed), n, kp_n, kp_voxel
@@ -1635,11 +1660,58 @@ class Odometry:
         self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
         return summary
 
+    def _profile_replay(self, summary: RegistrationSummary, level_before,
+                        kp_dev, pose_init, prior, dyn, opts, r,
+                        t_frame_start):
+        """Fill the ICPSummary phase durations (reference ct_icp.h:155-169)
+        for a profiled fused frame.
+
+        The committed estimate is the fused step's — bit-identical to the
+        non-profiled path by construction. Durations come from a staged
+        replay of the SAME solver body (solver._loop_pieces, one jitted
+        dispatch per phase with a sync point each) on the EXACT inputs the
+        fused step's solver saw: its post-decimation keypoints, the same
+        initial poses/prior/dynamics, the same laddered keypoint rung, and
+        a pre-insert on-device copy of the searched map level. The replay's
+        poses cross-check the committed result
+        (logged_values["profile_replay_pose_diff_m"]; any gap is XLA
+        fusion-level float noise, since both run one body)."""
+        import dataclasses as _dc
+
+        from ct_icp_tpu.icp.registration import staged_register_loop
+
+        icp = summary.icp_summary
+        kp_cnt = int(r[19])
+        statics = self.registration.statics
+        rung = next(s for s in pl.kp_ladder_rungs(statics.num_keypoints)
+                    if kp_cnt <= s)
+        statics_r = _dc.replace(statics, num_keypoints=rung)
+        kp_raw, kp_alphas, kp_valid = (a[:rung] for a in kp_dev)
+        res = staged_register_loop(
+            statics_r, level_before, kp_raw, kp_alphas, kp_valid,
+            jnp.asarray(pose_init[0:4]), jnp.asarray(pose_init[4:7]),
+            jnp.asarray(pose_init[7:11]), jnp.asarray(pose_init[11:14]),
+            jnp.asarray(prior), jnp.asarray(dyn),
+            num_iters_icp=int(opts.num_iters_icp),
+            min_number_neighbors=int(opts.min_number_neighbors))
+        icp.duration_init = res.duration_init_ms
+        kk = max(res.num_iters, 1)
+        icp.avg_duration_neighborhood = res.neighborhood_ms / kk
+        icp.avg_duration_solve = res.solve_ms / kk
+        icp.avg_duration_iter = (res.neighborhood_ms + res.solve_ms) / kk
+        icp.duration_total = (time.time() - t_frame_start) * 1000.0
+        pose_diff = max(
+            float(np.linalg.norm(res.tr_begin - r[4:7])),
+            float(np.linalg.norm(res.tr_end - r[11:14])))
+        summary.logged_values["profile_replay_pose_diff_m"] = pose_diff
+        summary.logged_values["profile_replay_num_iters"] = res.num_iters
+
     def _do_register_fused(self, xyz, timestamps, info: FrameInfo,
                            prep=None) -> RegistrationSummary:
         """Single-dispatch frame registration (non-robust path)."""
         o = self.options
         k = info.registered_fid
+        t_frame_start = time.time()
         scan_dev, n, kp_n, kp_voxel = self._prepare_device_scan(
             xyz, timestamps, info, prep)
 
@@ -1696,6 +1768,14 @@ class Odometry:
              else 0.0),
         ], dtype=np.float32)
 
+        profile = o.profile_registration and k > 0
+        if profile:
+            # pre-insert snapshot of the searched level: the staged replay
+            # must associate against the same map the fused step's solver
+            # saw (the step donates + mutates the map in one dispatch)
+            level_before = pl.make_device_copy_fn()(
+                self.map_state.levels[self.registration.level_index])
+
         self.map_state, packed, kp_dev, world_dev = self._frame_step(
             self.map_state, scan_dev,
             jnp.int32(n), jnp.asarray(pose_init), jnp.asarray(prior),
@@ -1733,6 +1813,11 @@ class Odometry:
             tracker.insert_frame(k)
         else:
             tracker.skip_frame()
+        if profile:
+            self._profile_replay(summary, level_before, kp_dev, pose_init,
+                                 prior, dyn, self._effective_icp_options(info),
+                                 r, t_frame_start)
+            self._log_summary(summary)
         self._maybe_rebase()
         self._fire_callbacks(Odometry.FINISHED_REGISTRATION, summary)
         return summary

@@ -167,6 +167,18 @@ def _rungs(cap: int, smallest: int):
     return out
 
 
+def kp_ladder_rungs(kp_capacity: int):
+    """Keypoint capacity ladder shared by the fused frame core and the
+    profiled replay (which must time the solver at the SAME rung the
+    production step ran). The 3/8-capacity rung: the pre-gather
+    residual-cap decimation tops out at 1.5x max_num_residuals (1350 at the
+    driving cap of 900), which must land UNDER a rung for the solver to
+    shrink with it — 3/8 * 4096 = 1536 catches it (half-capacity 2048 does
+    not)."""
+    return sorted({max((3 * kp_capacity // 8) // 128 * 128, 128),
+                   max(kp_capacity // 2, 1024), kp_capacity})
+
+
 def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
                      distort_constant_velocity: bool,
                      host_prededuped: bool = False):
@@ -224,12 +236,7 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
     resolutions = tuple(r.resolution for r in map_options.resolutions)
     min_dists = tuple(r.min_distance_between_points for r in map_options.resolutions)
     kp_capacity = statics.num_keypoints
-    # 3/8-capacity rung: the pre-gather residual-cap decimation (below)
-    # tops out at 1.5x max_num_residuals (1350 at the driving cap of 900),
-    # which must land UNDER a rung for the solver to shrink with it —
-    # 3/8 * 4096 = 1536 catches it (half-capacity 2048 does not)
-    kp_rungs = sorted({max((3 * kp_capacity // 8) // 128 * 128, 128),
-                       max(kp_capacity // 2, 1024), kp_capacity})
+    kp_rungs = kp_ladder_rungs(kp_capacity)
     registers = {sz: slv.build_register_fn(
         _dc.replace(statics, num_keypoints=sz)) for sz in kp_rungs}
 

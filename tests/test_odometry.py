@@ -91,6 +91,13 @@ def test_odometry_tracks_synthetic_trajectory():
     # is realization-sensitive (the reference-parity scan shuffle redrew
     # it to ~1.03 deg); gross-tracking bound, not a precision pin
     assert errs_r.max() < 1.3, errs_r
+    # MEDIAN pins (round-3 advisor): the persistent lock-on offset
+    # dominates every frame, so the median is nearly as large as the max
+    # but far less single-draw-sensitive — measured 0.093 m / 0.85 deg on
+    # this seed; a systematic tracking regression trips here before it
+    # reaches the loosened max bounds
+    assert np.median(errs_t) < 0.11, np.median(errs_t)
+    assert np.median(errs_r) < 1.1, np.median(errs_r)
     assert odo.map_size() > 1000
 
 
