@@ -64,7 +64,12 @@ def main():
         results[f"ct_ba_{nd}dev_ms"] = round(ms, 2)
         results[f"ct_ba_{nd}dev_weak_eff"] = round(eff, 3)
 
-    # ---- sharded map: points-per-device constant
+    # ---- sharded map: points-per-device constant.
+    # insert variant: --partitioned selects the point-partitioned
+    # all_to_all insert (compute O(scan/N) per shard); default is the
+    # broadcast insert (compute O(scan) per shard, ICI-cheapest). Both
+    # pass the same content-equivalence tests (tests/test_sharded_map.py).
+    partitioned = "--partitioned" in sys.argv
     pts_per_device = 8192
     opts = MultiResolutionVoxelMapOptions(
         resolutions=(ResolutionParam(0.8, 0.05, 20, 14),), default_radius=0.75)
@@ -72,7 +77,14 @@ def main():
     for nd in sizes:
         mesh = Mesh(np.array(devices[:nd]).reshape(nd), ("map",))
         mstate = sm.make_sharded_map(mesh, opts)
-        update = sm.make_sharded_update_fn(mesh, opts, 1 << 13)
+        if partitioned:
+            upd_p = sm.make_partitioned_update_fn(mesh, opts, 1 << 13)
+
+            def update(ms_, p, ok, a, b, c, _u=upd_p):
+                st, total, _dropped = _u(ms_, p, ok, a, b, c)
+                return st, total
+        else:
+            update = sm.make_sharded_update_fn(mesh, opts, 1 << 13)
         n = pts_per_device * nd
         pts = jnp.asarray(rng.uniform(-40, 40, (n, 3)), jnp.float32)
         ok = jnp.ones(n, bool)
@@ -94,7 +106,9 @@ def main():
         results[f"map_query_{nd}dev_ms"] = round(qms, 2)
 
     print(json.dumps({"metric": "virtual_mesh_weak_scaling",
-                      "devices": sizes[-1], **results}))
+                      "devices": sizes[-1],
+                      "insert_variant": ("partitioned" if partitioned
+                                         else "broadcast"), **results}))
 
 
 if __name__ == "__main__":
