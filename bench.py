@@ -1,19 +1,37 @@
-"""Benchmark: steady-state odometry throughput on a synthetic driving scene.
+"""Benchmark gates: the self-proving TPU performance + accuracy artifact.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+Default (``python bench.py``, what the driver runs) executes ALL gates and
+prints one JSON line per gate:
 
-Baseline: the reference's driving-sequence regression runtimes on CPU,
-0.076-0.095 s/frame (BASELINE.md; test/regression/regression_config_short_drive.yaml)
--> midpoint 0.0855 s/frame = 11.7 frames/s. ``vs_baseline`` is the speedup
-over that midpoint.
+  driving    — steady-state odometry throughput on a synthetic urban
+               corridor, 3-seed mean APE gate + a pinned throughput floor
+  robust     — the same corridor through the speculative ROBUST escalation
+               path (NCLT-regimen analog), APE gate + throughput floor
+  escalation — a yaw jolt that genuinely FAILS robust level 0: proves the
+               on-device assessment -> rollback -> per-frame escalation
+               replay machinery runs on TPU (attempts > 1, level >= 1)
+  indoor     — handheld multi-room walk through the low-inertia profile,
+               graded with INDOOR segment lengths (3 seeds)
+  long       — 500-frame urban drive graded by KITTI segment-RPE %Tr
+               (3 scene-realization seeds) + a wall-clock floor
 
-The workload mirrors a KITTI-like driving frame: ~100k-point scans rendered
-from a synthetic urban corridor, driving-profile odometry options (CERES-path
-solver semantics, grid keypoints, multi-resolution map).
+The process exits nonzero if ANY gate fails either its accuracy bound or
+its throughput floor — a regression in either dimension cannot ship green
+(the reference's regression harness gates runtime too,
+test/regression/regression_run.cxx:145-146).
+
+Baselines: the reference's driving-sequence regression runtimes on CPU,
+0.076-0.095 s/frame (BASELINE.md; regression_config_short_drive.yaml)
+-> midpoint 0.0855 s/frame = 11.7 frames/s; NCLT robust regimen
+0.26 s/frame (regression_config_short_nclt.yaml:22). ``vs_baseline`` is
+the speedup over those.
+
+Single gates: ``--driving [N]``, ``--robust [N]``, ``--escalation [N]``,
+``--indoor [N]``, ``--long [N]``.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -21,8 +39,8 @@ import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 1.0 / 0.0855
 
-# Hard accuracy gate: the bench exits nonzero if the MEAN APE over three
-# scan-realization seeds exceeds this bound. History: round 2 pinned a
+# Hard accuracy gate: the driving bench exits nonzero if the MEAN APE over
+# three scan-realization seeds exceeds this bound. History: round 2 pinned a
 # single-seed 0.0593/0.07, but round 3 found that number was overfit to
 # the seed-3 realization — frame 1 passed the min_number_neighbors
 # bootstrap by luck (36 residuals); every other seed death-spiraled (79/80
@@ -35,6 +53,168 @@ BASELINE_FRAMES_PER_SEC = 1.0 / 0.0855
 # three seeds (throughput is still measured on the seed-3 run only).
 APE_BOUND_M = 0.07
 APE_SEEDS = (3, 4, 5)
+
+# Throughput floors (vs_baseline multiples). A value below the floor exits
+# nonzero even when accuracy holds: the TPU story IS the speedup, and a 2x
+# throughput regression previously shipped green (round-3 verdict weak #4).
+# Pinned 2026-08-21 (round 4, full-bench quiet run): driving measured
+# 8.71x (101.9 fps, mnn=40 profile) / robust 11.45x (44.0 fps); floors
+# keep ~10-15 % headroom for tunnel jitter.
+DRIVING_FLOOR_X = 7.5
+ROBUST_FLOOR_X = 9.5
+
+# Long-horizon gate (--long): 500-frame synthetic urban drive graded by
+# KITTI segment-RPE %Tr — the metric the reference's regression harness
+# actually grades 500-frame drives with
+# (test/regression/regression_config_short_drive.yaml:19-48, 0.5-1.0 %Tr).
+# Graded as the MEAN over three scan-realization seeds (the same
+# de-lucking discipline as the APE gates; round 3 built this gate
+# single-seed the very round it learned that lesson). Bound ≤ 0.5 %Tr is
+# the BASELINE.md north star (the reference's real-KITTI baselines are
+# 0.5-1.0 % on 500-frame drives); reached by adopting
+# max_number_neighbors=40 in the driving profile after the round-4
+# cross-gate A/B (docs/PARITY.md). Wall floor: the timed seed must also
+# sustain the pinned frames/s (steady state, warmup excluded).
+LONG_TR_BOUND_PCT = 0.50
+LONG_SEEDS = (7, 8, 9)
+LONG_FLOOR_FPS = 60.0
+LONG_CONFIG = "configs/synthetic_long_drive.yaml"
+
+# Robust-path gate (--robust): the same corridor scene driven through the
+# speculative ROBUST escalation path (the NCLT-regimen analog; reference
+# baseline 0.26 s/frame, regression_config_short_nclt.yaml:22). APE bound
+# pinned 2026-08-21 post-shuffle: 3-seed mean 0.0503 (seeds
+# 0.0486/0.0508/0.0515, deterministic) + ~15 % headroom.
+ROBUST_BASELINE_SEC_PER_FRAME = 0.26
+ROBUST_APE_BOUND_M = 0.058
+
+# Indoor / low-inertia gate (--indoor): a handheld walk through a
+# multi-room interior (tight spaces, in-room loops at ~4-5 deg/frame yaw,
+# 2.5-degree intra-scan sway, 0.8 m/s) driven through the third profile
+# default_robust_outdoor_low_inertia (odometry.cpp:92-151) and graded with
+# INDOOR segment lengths {10..80} m (SlamCore/eval.cxx:55-60) — NCLT's
+# actual regime. 3 scene-realization seeds. Pinned 2026-08-21: 3-seed mean
+# 1.59 %Tr (seeds 1.39/2.48/0.90 — doorway-turn transients of ~1 m that
+# recover dominate the short INDOOR segments; mean APE is the stabler
+# signal at 0.064, seeds 0.084/0.054/0.055) + headroom. For scale: the
+# reference's NCLT regression baseline is 1.36 %Tr over 2000 real frames
+# (regression_config_short_nclt.yaml). The %Tr bound catches gross
+# regressions (a broken turn path measures 39 %Tr); the APE bound is the
+# precision pin.
+INDOOR_TR_BOUND_PCT = 2.6
+INDOOR_APE_BOUND_M = 0.12
+INDOOR_SEEDS = (7, 8, 9)
+INDOOR_CONFIG = "configs/synthetic_indoor_walk.yaml"
+
+
+def run_indoor(num_frames=None):
+    """Handheld indoor walk through the low-inertia profile, INDOOR-graded."""
+    from ct_icp_tpu.config.options import default_robust_outdoor_low_inertia
+    from ct_icp_tpu.config.yaml_config import synthetic_sequence_from_yaml
+    from ct_icp_tpu.evaluation.kitti import evaluate_poses
+    from ct_icp_tpu.odometry.concurrent import PrefetchIterator
+    from ct_icp_tpu.odometry.odometry import Odometry
+
+    num_frames = num_frames or 240
+    # batch 4: turn-heavy stretches drain per-frame after a rollback, so a
+    # large speculative batch mostly wastes re-dispatched work here
+    BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+
+    def run(seed):
+        seq = synthetic_sequence_from_yaml(INDOOR_CONFIG, seed=seed)
+        acq = seq.acq
+        n = min(num_frames, acq.num_frames())
+        odo = Odometry(default_robust_outdoor_low_inertia())
+
+        def _prepare(i):
+            fr = acq.frame(i)
+            prep = odo.prepare_frame(fr["xyz"], fr["timestamps"],
+                                     registered_fid=i, frame_id=i,
+                                     upload=False,
+                                     pad_rung=odo.options.max_scan_points)
+            return prep, fr["begin_pose"], fr["end_pose"]
+
+        gt_ends = [None] * n
+        begin0 = [None]
+
+        def prep_iter():
+            for item in PrefetchIterator(range(n), depth=2 * BATCH,
+                                         transform=_prepare, workers=3):
+                prep, bp, ep = item
+                i = prep["info"].registered_fid
+                gt_ends[i] = ep
+                if i == 0:
+                    begin0[0] = bp
+                yield prep
+
+        failures = 0
+        attempts = 0
+        for s in odo.stream_frames(prep_iter(), batch=BATCH):
+            attempts += s.number_of_attempts
+            if not s.success:
+                failures += 1
+        first_gt = begin0[0]
+        gt = [first_gt.inverse() * p for p in gt_ends[:len(odo.trajectory)]]
+        est = [f.end_pose for f in odo.get_trajectory()]
+        err = evaluate_poses(gt, est, driving=False)   # INDOOR segments
+        return err, failures, attempts, len(est)
+
+    t0 = time.time()
+    err0, failures, attempts, frames0 = run(INDOOR_SEEDS[0])
+    wall0 = time.time() - t0
+    tr_per_seed = [err0.mean_rpe]
+    ape_per_seed = [err0.mean_ape]
+    total_failures = failures
+    for seed in INDOOR_SEEDS[1:]:
+        e, f, _, _ = run(seed)
+        tr_per_seed.append(e.mean_rpe)
+        ape_per_seed.append(e.mean_ape)
+        total_failures += f
+    mean_tr = float(np.mean(tr_per_seed))
+
+    return {
+        "metric": "synthetic_indoor_low_inertia_segment_rpe",
+        "value": round(mean_tr, 4),
+        "unit": "%Tr_indoor",
+        "vs_baseline": round(1.36 / max(mean_tr, 1e-9), 3),
+        "frames": frames0,
+        "failures": total_failures,
+        "mean_attempts": round(attempts / max(frames0, 1), 3),
+        "tr_per_seed": [round(t, 4) for t in tr_per_seed],
+        "mean_ape_m": round(float(np.mean(ape_per_seed)), 4),
+        "ape_per_seed": [round(a, 4) for a in ape_per_seed],
+        "segments": len(err0.tab_errors),
+        "wall_sec_per_frame": round(wall0 / max(frames0, 1), 4),
+        "tr_bound_pct": INDOOR_TR_BOUND_PCT,
+        "ape_bound_m": INDOOR_APE_BOUND_M,
+        "accuracy_ok": bool(mean_tr <= INDOOR_TR_BOUND_PCT
+                            and float(np.mean(ape_per_seed))
+                            <= INDOOR_APE_BOUND_M
+                            and total_failures == 0),
+    }
+
+
+# Escalation gate (--escalation): a yaw jolt — an aggressive S-swerve
+# whose heading rate (~11 deg/frame peak) exceeds the robust profile's
+# 5-degree rotation thresholds — genuinely fails the level-0 on-device
+# assessment ("Large rotations require a robust_level of at least 1",
+# reference AssessRegistration odometry.cpp:652-668 +
+# robust_num_attempts_when_rotation), so the speculative streamer must
+# roll the map back and replay the batch through per-frame escalation ON
+# DEVICE (odometry.cpp:780-852, 996-1018). The gate asserts the machinery
+# ran — attempts > 1 somewhere in the window (the rollback+replay) AND
+# the window ran at robust_level >= 1 (frames after the first escalation
+# are PRE-escalated via next_robust_level, odometry.cpp:890-901, so they
+# legitimately take 1 attempt) — and that tracking survives the jolt
+# (post-burst APE bound; the scene stays fully visible, so escalation
+# genuinely recovers these frames). Pinned 2026-08-21 (deterministic):
+# burst mean_attempts 1.167, mean robust_level 1.0, max_attempts 2,
+# post-burst APE 0.039 m, 0 failures.
+ESC_BURST = (18, 24)          # [first, last) jolt frame indices
+ESC_YAW_AMP_DEG = 45.0        # look-around ramp over the jolt window
+ESC_POST_APE_BOUND_M = 0.15
+ESC_MIN_BURST_ATTEMPTS = 1.1  # mean attempts over the jolt window
+ESC_MIN_BURST_LEVEL = 0.7     # mean robust_level over the jolt window
 
 
 def build_scene():
@@ -86,134 +266,163 @@ def straight_trajectory(num_poses, total_time, speed=10.0, accel=2.5):
     return LinearContinuousTrajectory(poses)
 
 
-# Long-horizon gate (--long): 500-frame synthetic urban drive graded by
-# KITTI segment-RPE %Tr — the metric the reference's regression harness
-# actually grades 500-frame drives with
-# (test/regression/regression_config_short_drive.yaml:19-48, 0.5-1.0 %Tr).
-# Pinned to current-best 0.5687 % (2026-08-21, deterministic 500-frame
-# run; driving profile, default bootstrap budget) + ~14 % relative
-# headroom, mirroring the reference's tolerance discipline. For scale: the
-# reference's real-KITTI regression baselines are 0.5-1.0 %Tr on 500-frame
-# drives. History: pre-shuffle this measured 0.4028 — the scan shuffle
-# (reference InitializeFrame parity) raised long-drive cruise drift ~0.17
-# while HALVING corridor APE (0.108 -> 0.058) and robust APE
-# (0.100 -> 0.050); net accuracy across the suite strongly favors it.
-LONG_TR_BOUND_PCT = 0.65
-LONG_CONFIG = "configs/synthetic_long_drive.yaml"
+def render_corridor(scene, traj, num_frames, seed, max_range=50.0):
+    from ct_icp_tpu.datasets import synthetic as syn
+
+    acq = syn.SyntheticSensorAcquisition(
+        scene, traj,
+        syn.SyntheticAcquisitionOptions(
+            num_points_per_frame=100_000, frame_duration=0.1,
+            max_range=max_range, min_range=2.0, noise_sigma=0.01),
+        seed=seed)
+    return [acq.frame(i) for i in range(min(num_frames, acq.num_frames()))]
 
 
-def run_long():
-    """500-frame drive -> one JSON line; exit 1 if %Tr exceeds the bound."""
+def seq_ape(odo, frames):
+    """Per-frame end-pose translation errors vs GT (estimate starts at GT
+    frame 0: conjugate GT into the estimate frame)."""
+    first_gt = frames[0]["begin_pose"]
+    return [np.linalg.norm(est.end_pose.tr
+                           - (first_gt.inverse() * fr["end_pose"]).tr)
+            for est, fr in zip(odo.get_trajectory(), frames)]
+
+
+def emit(result) -> bool:
+    """Print the gate's JSON line; report failures on stderr."""
+    print(json.dumps(result), flush=True)
+    ok = True
+    if not result.get("accuracy_ok", True):
+        print(f"{result['metric']}: ACCURACY GATE FAILED", file=sys.stderr)
+        ok = False
+    if not result.get("throughput_ok", True):
+        print(f"{result['metric']}: THROUGHPUT FLOOR FAILED "
+              f"({result['value']} {result['unit']} < floor)",
+              file=sys.stderr)
+        ok = False
+    return ok
+
+
+def run_driving(num_frames=None):
     from ct_icp_tpu.config.options import default_driving_profile
-    from ct_icp_tpu.config.yaml_config import synthetic_sequence_from_yaml
-    from ct_icp_tpu.evaluation.kitti import evaluate_poses
     from ct_icp_tpu.odometry.concurrent import PrefetchIterator
     from ct_icp_tpu.odometry.odometry import Odometry
-    import os
 
-    import dataclasses
-
-    num_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 500
-    seq = synthetic_sequence_from_yaml(LONG_CONFIG)
-    acq = seq.acq
-    num_frames = min(num_frames, acq.num_frames())
+    # 80 frames = 3 timed megastep bursts after the 2-burst warmup (enough
+    # for the median to reject one tunnel stall; the APE bound is pinned to
+    # this exact horizon — changing the count re-pins the gate)
+    num_frames = num_frames or 80
+    scene = build_scene()
+    traj = straight_trajectory(400, num_frames * 0.1 + 0.5)
+    frames = render_corridor(scene, traj, num_frames, APE_SEEDS[0])
 
     odo = Odometry(default_driving_profile())
-    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 
-    def _prepare(i):
-        # rendering happens in the prefetch workers, overlapped with device
-        # compute (scene sampling is ~40 ms/frame — off the critical path)
-        fr = acq.frame(i)
-        prep = odo.prepare_frame(fr["xyz"], fr["timestamps"],
+    def _prepare(item):
+        i, fr = item
+        # pinned wire rung: scan sizes that straddle a power of two
+        # mid-sequence would otherwise force a fresh multi-second XLA
+        # compile of the megastep inside the timed window
+        return odo.prepare_frame(fr["xyz"], fr["timestamps"],
                                  registered_fid=i, frame_id=i, upload=False,
                                  pad_rung=odo.options.max_scan_points)
-        return prep, fr["begin_pose"], fr["end_pose"]
 
-    gt_ends = [None] * num_frames
-    begin0 = [None]
+    # streaming megastep mode: BATCH frames ride one dispatch (lax.scan
+    # program) with one stacked upload and one packed readback, so the
+    # per-dispatch tax and readback round trip (~1 ms each over the tunnel)
+    # amortize across the batch (odometry.stream_frames(batch=...))
+    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+    # warmup must be a whole number of megasteps: summaries arrive in
+    # bursts of BATCH, so a mid-burst t_start would credit frames whose
+    # compute happened before the clock started
+    warmup = 2 * BATCH
+    failures = 0
+    timed = 0
+    t_start = None
+    burst_ends = []  # wall time at the end of each post-warmup batch burst
+    # prefetch worker: scan packing overlaps device compute
+    prepared = PrefetchIterator(enumerate(frames), depth=2 * BATCH,
+                                transform=_prepare, workers=3)
+    for i, summary in enumerate(odo.stream_frames(prepared, batch=BATCH)):
+        if i == warmup - 1:
+            t_start = time.time()
+            burst_ends.append(t_start)
+        elif i >= warmup:
+            timed += 1
+            if (i + 1) % BATCH == 0:
+                burst_ends.append(time.time())
+        if not summary.success:
+            failures += 1
+    sec_per_frame = ((time.time() - t_start) / timed
+                     if timed else float("inf"))
+    # primary metric: MEDIAN per-megastep frame time. The remote-TPU tunnel
+    # occasionally wedges for seconds (docs/PERF.md); one stall inside the
+    # timed window would misreport steady-state throughput by 2-10x. The
+    # median over per-batch durations measures the sustained rate; the
+    # wall-clock number is reported alongside.
+    bursts = np.diff(burst_ends)
+    med_spf = (float(np.median(bursts)) / BATCH if len(bursts)
+               else sec_per_frame)
+    fps = 1.0 / med_spf
 
-    def prep_iter():
-        for item in PrefetchIterator(range(num_frames), depth=2 * BATCH,
-                                     transform=_prepare, workers=3):
-            prep, bp, ep = item
-            i = prep["info"].registered_fid
-            gt_ends[i] = ep
-            if i == 0:
-                begin0[0] = bp
-            yield prep
+    errs = seq_ape(odo, frames)
+    apes = [float(np.mean(errs))]
+    # two more realization seeds, accuracy-only (untimed): the gate grades
+    # the MEAN across draws, not one lucky realization
+    for seed in APE_SEEDS[1:]:
+        frs = render_corridor(scene, traj, num_frames, seed)
+        o2 = Odometry(default_driving_profile())
+        p2 = PrefetchIterator(enumerate(frs), depth=2 * BATCH,
+                              transform=lambda item: o2.prepare_frame(
+                                  item[1]["xyz"], item[1]["timestamps"],
+                                  registered_fid=item[0], frame_id=item[0],
+                                  upload=False,
+                                  pad_rung=o2.options.max_scan_points),
+                              workers=3)
+        for _ in o2.stream_frames(p2, batch=BATCH):
+            pass
+        apes.append(float(np.mean(seq_ape(o2, frs))))
+    ape = float(np.mean(apes))
 
-    t0 = time.time()
-    failures = sum(1 for s in odo.stream_frames(prep_iter(), batch=BATCH)
-                   if not s.success)
-    wall = time.time() - t0
-
-    # estimate starts at GT frame 0: conjugate GT into the estimate frame
-    first_gt = begin0[0]
-    gt = [first_gt.inverse() * p for p in gt_ends[:len(odo.trajectory)]]
-    est = [f.end_pose for f in odo.get_trajectory()]
-    err = evaluate_poses(gt, est, driving=True)
-
-    result = {
-        "metric": "synthetic_long_drive_segment_rpe",
-        "value": round(err.mean_rpe, 4),
-        "unit": "%Tr",
-        "vs_baseline": round(1.0 / max(err.mean_rpe, 1e-9), 3),
-        "frames": len(est),
+    vs = fps / BASELINE_FRAMES_PER_SEC
+    return {
+        "metric": "synthetic_driving_odometry_throughput",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3),
+        "sec_per_frame": round(med_spf, 4),
+        "wall_sec_per_frame": round(sec_per_frame, 4),
+        "frames": timed,
         "failures": failures,
-        "wall_sec_per_frame": round(wall / max(len(est), 1), 4),
-        "mean_ape_m": round(err.mean_ape, 4),
-        "max_ape_m": round(err.max_ape, 4),
-        "segments": len(err.tab_errors),
-        "tr_bound_pct": LONG_TR_BOUND_PCT,
-        "accuracy_ok": bool(err.mean_rpe <= LONG_TR_BOUND_PCT),
+        "map_points": odo.map_size(),
+        "mean_ape_m": round(ape, 4),
+        "ape_per_seed": [round(a, 4) for a in apes],
+        "final_drift_m": round(float(errs[-1]), 4) if errs else None,
+        "accuracy_ok": bool(ape <= APE_BOUND_M and failures == 0),
+        "ape_bound_m": APE_BOUND_M,
+        "throughput_ok": bool(vs >= DRIVING_FLOOR_X),
+        "floor_x": DRIVING_FLOOR_X,
     }
-    print(json.dumps(result))
-    if not result["accuracy_ok"]:
-        print(f"LONG-HORIZON GATE FAILED: {err.mean_rpe:.4f} %Tr > "
-              f"bound {LONG_TR_BOUND_PCT} %", file=sys.stderr)
-        sys.exit(1)
 
 
-# Robust-path gate (--robust): the same corridor scene driven through the
-# speculative ROBUST escalation path (the NCLT-regimen analog; reference
-# baseline 0.26 s/frame, regression_config_short_nclt.yaml:22). APE bound
-# pinned 2026-08-21 post-shuffle: 3-seed mean 0.0503 (seeds
-# 0.0486/0.0508/0.0515, deterministic) + ~15 % headroom.
-ROBUST_BASELINE_SEC_PER_FRAME = 0.26
-ROBUST_APE_BOUND_M = 0.058
-
-
-def run_robust():
-    """Robust-escalation throughput + accuracy -> one JSON line."""
+def run_robust(num_frames=None):
+    """Robust-escalation throughput + accuracy."""
     from ct_icp_tpu.config.options import robust_driving_profile
-    from ct_icp_tpu.datasets import synthetic as syn
     from ct_icp_tpu.odometry.concurrent import PrefetchIterator
     from ct_icp_tpu.odometry.odometry import Odometry
-    import os
 
-    num_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+    num_frames = num_frames or 80
     scene = build_scene()
     # cruise below 1 m/frame: the reference robust profile REJECTS frames
     # whose begin->end translation exceeds robust_relative_trans_threshold
     # (1.0 m, odometry.h:102) and burns all attempts on them — benching
-    # inside that regime measures threshold thrash, not throughput
+    # inside that regime measures threshold thrash, not throughput (the
+    # escalation gate covers the failing regime)
     traj = straight_trajectory(400, num_frames * 0.1 + 0.5, speed=8.0)
-
-    def render(seed):
-        acq = syn.SyntheticSensorAcquisition(
-            scene, traj,
-            syn.SyntheticAcquisitionOptions(
-                num_points_per_frame=100_000, frame_duration=0.1,
-                max_range=50.0, min_range=2.0, noise_sigma=0.01),
-            seed=seed)
-        return [acq.frame(i)
-                for i in range(min(num_frames, acq.num_frames()))]
 
     BATCH = int(os.environ.get("BENCH_BATCH", "8"))
     warmup = 2 * BATCH
 
-    def run(frames, timing):
+    def run(frames):
         odo = Odometry(robust_driving_profile())
 
         def _prepare(item):
@@ -242,25 +451,23 @@ def run_robust():
         bursts = np.diff(burst_ends)
         med_spf = (float(np.median(bursts)) / BATCH if len(bursts)
                    else float("inf"))
-        first_gt = frames[0]["begin_pose"]
-        errs = [np.linalg.norm(est.end_pose.tr
-                               - (first_gt.inverse() * fr["end_pose"]).tr)
-                for est, fr in zip(odo.get_trajectory(), frames)]
-        return med_spf, float(np.mean(errs)), stats
+        return med_spf, float(np.mean(seq_ape(odo, frames))), stats
 
-    med_spf, ape0, stats = run(render(APE_SEEDS[0]), timing=True)
+    med_spf, ape0, stats = run(
+        render_corridor(scene, traj, num_frames, APE_SEEDS[0]))
     apes = [ape0]
     for seed in APE_SEEDS[1:]:
-        _, a, _ = run(render(seed), timing=False)
+        _, a, _ = run(render_corridor(scene, traj, num_frames, seed))
         apes.append(a)
     ape = float(np.mean(apes))
     fps = 1.0 / med_spf
 
-    result = {
+    vs = fps * ROBUST_BASELINE_SEC_PER_FRAME
+    return {
         "metric": "synthetic_robust_odometry_throughput",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps * ROBUST_BASELINE_SEC_PER_FRAME, 3),
+        "vs_baseline": round(vs, 3),
         "sec_per_frame": round(med_spf, 4),
         "frames": stats["timed"],
         "failures": stats["failures"],
@@ -269,145 +476,246 @@ def run_robust():
         "ape_per_seed": [round(a, 4) for a in apes],
         "accuracy_ok": bool(ape <= ROBUST_APE_BOUND_M),
         "ape_bound_m": ROBUST_APE_BOUND_M,
+        "throughput_ok": bool(vs >= ROBUST_FLOOR_X),
+        "floor_x": ROBUST_FLOOR_X,
     }
-    print(json.dumps(result))
-    if not result["accuracy_ok"]:
-        print(f"ROBUST ACCURACY GATE FAILED: mean APE {ape:.4f} m > "
-              f"bound {ROBUST_APE_BOUND_M} m", file=sys.stderr)
-        sys.exit(1)
 
 
-def main():
-    from ct_icp_tpu.config.options import default_driving_profile
-    from ct_icp_tpu.datasets import synthetic as syn
+def _jolt_trajectory(num_poses, total_time, burst_t0, burst_t1,
+                     speed=8.0, accel=2.5, amp_deg=ESC_YAW_AMP_DEG):
+    """straight_trajectory + an S-swerve yaw jolt inside [t0, t1]: heading
+    swings +amp/-0 over the window (peak rate ~ amp*pi/window), while the
+    position stays on the corridor line — a violent steering correction
+    with the scene fully visible."""
+    from ct_icp_tpu.core import se3_np as s3n
+    from ct_icp_tpu.core.pose import Pose
+    from ct_icp_tpu.core.trajectory import LinearContinuousTrajectory
+
+    t_ramp = speed / accel
+    amp = np.deg2rad(amp_deg)
+    poses = []
+    for i in range(num_poses):
+        t = i / (num_poses - 1) * total_time
+        if t < t_ramp:
+            x = 0.5 * accel * t * t
+        else:
+            x = 0.5 * accel * t_ramp ** 2 + speed * (t - t_ramp)
+        yaw = 0.08 * np.sin(0.5 * t)
+        # constant-rate look-around ramp: every frame inside the window
+        # sees the same super-threshold heading rate (a sine swerve only
+        # trips the check near its peak slope)
+        frac = np.clip((t - burst_t0) / (burst_t1 - burst_t0), 0.0, 1.0)
+        yaw += amp * frac
+        q = s3n.quat_from_rotvec(np.array([0.0, 0.0, yaw]))
+        poses.append(Pose(q, np.array([x, 0.3 * np.sin(0.2 * t), 1.7]),
+                          timestamp=t))
+    return LinearContinuousTrajectory(poses)
+
+
+def run_escalation(num_frames=None):
+    """Yaw-jolt scenario through the robust path: the jolt frames trip the
+    rotation thresholds of the level-0 on-device assessment and force the
+    speculative streamer's rollback + per-frame escalation replay
+    (odometry._stream_frames_robust) to actually run on the device."""
+    from ct_icp_tpu.config.options import robust_driving_profile
+    from ct_icp_tpu.odometry.concurrent import PrefetchIterator
     from ct_icp_tpu.odometry.odometry import Odometry
 
-    # 80 frames = 3 timed megastep bursts after the 2-burst warmup (enough
-    # for the median to reject one tunnel stall; the APE bound is pinned to
-    # this exact horizon — changing the count re-pins the gate)
-    num_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 80
-
+    num_frames = num_frames or 48
     scene = build_scene()
-    traj = straight_trajectory(400, num_frames * 0.1 + 0.5)
+    b0, b1 = ESC_BURST
+    traj = _jolt_trajectory(400, num_frames * 0.1 + 0.5,
+                            burst_t0=b0 * 0.1, burst_t1=b1 * 0.1,
+                            amp_deg=ESC_YAW_AMP_DEG)
+    frames = render_corridor(scene, traj, num_frames, APE_SEEDS[0])
 
-    def render(seed):
-        acq = syn.SyntheticSensorAcquisition(
-            scene, traj,
-            syn.SyntheticAcquisitionOptions(
-                num_points_per_frame=100_000, frame_duration=0.1,
-                max_range=50.0, min_range=2.0, noise_sigma=0.01),
-            seed=seed)
-        return [acq.frame(i)
-                for i in range(min(num_frames, acq.num_frames()))]
-
-    # pre-render frames so host-side scene sampling isn't measured
-    frames = render(APE_SEEDS[0])
-
-    odo = Odometry(default_driving_profile())
+    odo = Odometry(robust_driving_profile())
+    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
     def _prepare(item):
         i, fr = item
-        # pinned wire rung: scan sizes that straddle a power of two
-        # mid-sequence would otherwise force a fresh multi-second XLA
-        # compile of the megastep inside the timed window
         return odo.prepare_frame(fr["xyz"], fr["timestamps"],
                                  registered_fid=i, frame_id=i, upload=False,
                                  pad_rung=odo.options.max_scan_points)
 
-    # streaming megastep mode: BATCH frames ride one dispatch (lax.scan
-    # program) with one stacked upload and one packed readback, so the
-    # per-dispatch tax and readback round trip (~1 ms each over the tunnel)
-    # amortize across the batch (odometry.stream_frames(batch=...))
-    import os
-    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
-    # warmup must be a whole number of megasteps: summaries arrive in
-    # bursts of BATCH, so a mid-burst t_start would credit frames whose
-    # compute happened before the clock started
-    warmup = 2 * BATCH
-    failures = 0
-    timed = 0
-    t_start = None
-    burst_ends = []  # wall time at the end of each post-warmup batch burst
-    # prefetch worker: scan packing overlaps device compute
-    from ct_icp_tpu.odometry.concurrent import PrefetchIterator
     prepared = PrefetchIterator(enumerate(frames), depth=2 * BATCH,
                                 transform=_prepare, workers=3)
-    for i, summary in enumerate(odo.stream_frames(prepared, batch=BATCH)):
-        if i == warmup - 1:
-            t_start = time.time()
-            burst_ends.append(t_start)
-        elif i >= warmup:
-            timed += 1
-            if (i + 1) % BATCH == 0:
-                burst_ends.append(time.time())
-        if not summary.success:
+    attempts = []
+    levels = []
+    failures = 0
+    t0 = time.time()
+    for s in odo.stream_frames(prepared, batch=BATCH):
+        attempts.append(s.number_of_attempts)
+        levels.append(s.robust_level)
+        if not s.success:
             failures += 1
-    sec_per_frame = ((time.time() - t_start) / timed
-                     if timed else float("inf"))
-    # primary metric: MEDIAN per-megastep frame time. The remote-TPU tunnel
-    # occasionally wedges for seconds (docs/PERF.md); one stall inside the
-    # timed window would misreport steady-state throughput by 2-10x. The
-    # median over per-batch durations measures the sustained rate; the
-    # wall-clock number is reported alongside.
-    bursts = np.diff(burst_ends)
-    med_spf = (float(np.median(bursts)) / BATCH if len(bursts)
-               else sec_per_frame)
-    fps = 1.0 / med_spf
-
-    # accuracy vs the synthetic ground truth (estimate starts at GT frame 0)
-    def seq_ape(o, frs):
-        first_gt = frs[0]["begin_pose"]
-        es = [np.linalg.norm(est.end_pose.tr
-                             - (first_gt.inverse() * fr["end_pose"]).tr)
-              for est, fr in zip(o.get_trajectory(), frs)]
-        return es
+    wall = time.time() - t0
 
     errs = seq_ape(odo, frames)
-    apes = [float(np.mean(errs))]
-    # two more realization seeds, accuracy-only (untimed): the gate grades
-    # the MEAN across draws, not one lucky realization
-    for seed in APE_SEEDS[1:]:
-        frs = render(seed)
-        o2 = Odometry(default_driving_profile())
-        p2 = PrefetchIterator(enumerate(frs), depth=2 * BATCH,
-                              transform=lambda item: o2.prepare_frame(
-                                  item[1]["xyz"], item[1]["timestamps"],
-                                  registered_fid=item[0], frame_id=item[0],
-                                  upload=False,
-                                  pad_rung=o2.options.max_scan_points),
-                              workers=3)
-        for _ in o2.stream_frames(p2, batch=BATCH):
-            pass
-        apes.append(float(np.mean(seq_ape(o2, frs))))
-    ape = float(np.mean(apes))
+    burst_attempts = attempts[b0:b1]
+    burst_levels = levels[b0:b1]
+    post_errs = errs[b1 + 4:]  # after re-acquisition
+    mean_burst_attempts = float(np.mean(burst_attempts))
+    mean_burst_level = float(np.mean(burst_levels))
+    post_ape = float(np.mean(post_errs)) if post_errs else float("inf")
 
-    result = {
-        "metric": "synthetic_driving_odometry_throughput",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 3),
-        "sec_per_frame": round(med_spf, 4),
-        "wall_sec_per_frame": round(sec_per_frame, 4),
-        "frames": timed,
+    # number_of_attempts counts attempts made NOW; a frame pre-escalated
+    # by next_robust_level (reference odometry.cpp:890-901) runs at level
+    # >= 1 with ONE attempt — both signals together prove the machinery:
+    # rollback + escalation happened (attempts > 1 somewhere) AND the
+    # burst ran escalated (mean robust_level)
+    machinery_ran = (mean_burst_attempts >= ESC_MIN_BURST_ATTEMPTS
+                     and mean_burst_level >= ESC_MIN_BURST_LEVEL)
+    recovered = post_ape <= ESC_POST_APE_BOUND_M
+    return {
+        "metric": "synthetic_robust_escalation_recovery",
+        "value": round(post_ape, 4),
+        "unit": "m_post_burst_ape",
+        "vs_baseline": round(mean_burst_attempts, 3),
+        "frames": len(errs),
         "failures": failures,
-        "map_points": odo.map_size(),
-        "mean_ape_m": round(ape, 4),
-        "ape_per_seed": [round(a, 4) for a in apes],
-        "final_drift_m": round(float(errs[-1]), 4) if errs else None,
-        "accuracy_ok": bool(ape <= APE_BOUND_M),
-        "ape_bound_m": APE_BOUND_M,
+        "mean_burst_attempts": round(mean_burst_attempts, 3),
+        "mean_burst_level": round(mean_burst_level, 3),
+        "max_attempts": int(max(attempts)) if attempts else 0,
+        "burst_frames": [b0, b1],
+        "wall_sec_per_frame": round(wall / max(len(errs), 1), 4),
+        "mean_ape_m": round(float(np.mean(errs)), 4),
+        "accuracy_ok": bool(machinery_ran and recovered),
+        "post_ape_bound_m": ESC_POST_APE_BOUND_M,
+        "min_burst_attempts": ESC_MIN_BURST_ATTEMPTS,
+        "min_burst_level": ESC_MIN_BURST_LEVEL,
     }
-    print(json.dumps(result))
-    if not result["accuracy_ok"]:
-        print(f"ACCURACY GATE FAILED: mean APE {ape:.4f} m > "
-              f"bound {APE_BOUND_M} m", file=sys.stderr)
-        sys.exit(1)
+
+
+def run_long(num_frames=None):
+    """500-frame drive, 3 scene-realization seeds; %Tr + wall floor."""
+    from ct_icp_tpu.config.options import default_driving_profile
+    from ct_icp_tpu.config.yaml_config import synthetic_sequence_from_yaml
+    from ct_icp_tpu.evaluation.kitti import evaluate_poses
+    from ct_icp_tpu.odometry.concurrent import PrefetchIterator
+    from ct_icp_tpu.odometry.odometry import Odometry
+
+    num_frames = num_frames or 500
+    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+    warmup = 2 * BATCH
+
+    def run(seed, timing):
+        seq = synthetic_sequence_from_yaml(LONG_CONFIG, seed=seed)
+        acq = seq.acq
+        n = min(num_frames, acq.num_frames())
+        # whole megasteps only: a partial tail batch compiles a SECOND
+        # multi-step program (~47 s) — inside the timed window it would
+        # report the XLA compiler, not the framework
+        n = max(BATCH, (n // BATCH) * BATCH)
+        odo = Odometry(default_driving_profile())
+
+        # TIMED seed: pre-render the whole sequence so the floor measures
+        # the framework (prep workers + device), not the synthetic
+        # renderer — in-worker rendering (~150 ms/frame of numpy under the
+        # GIL) starves the pipeline to ~4 fps and would gate the scene
+        # generator instead. Accuracy-only seeds render in the workers
+        # (wall time irrelevant there).
+        cache = [acq.frame(i) for i in range(n)] if timing else None
+
+        def _prepare(i):
+            fr = cache[i] if cache is not None else acq.frame(i)
+            prep = odo.prepare_frame(fr["xyz"], fr["timestamps"],
+                                     registered_fid=i, frame_id=i,
+                                     upload=False,
+                                     pad_rung=odo.options.max_scan_points)
+            return prep, fr["begin_pose"], fr["end_pose"]
+
+        gt_ends = [None] * n
+        begin0 = [None]
+
+        def prep_iter():
+            for item in PrefetchIterator(range(n), depth=2 * BATCH,
+                                         transform=_prepare, workers=3):
+                prep, bp, ep = item
+                i = prep["info"].registered_fid
+                gt_ends[i] = ep
+                if i == 0:
+                    begin0[0] = bp
+                yield prep
+
+        failures = 0
+        t_start = None
+        timed = 0
+        for i, s in enumerate(odo.stream_frames(prep_iter(), batch=BATCH)):
+            if i == warmup - 1:
+                t_start = time.time()
+            elif i >= warmup:
+                timed += 1
+            if not s.success:
+                failures += 1
+        spf = ((time.time() - t_start) / timed
+               if (timing and timed) else float("nan"))
+
+        first_gt = begin0[0]
+        gt = [first_gt.inverse() * p for p in gt_ends[:len(odo.trajectory)]]
+        est = [f.end_pose for f in odo.get_trajectory()]
+        err = evaluate_poses(gt, est, driving=True)
+        return err, failures, spf, len(est)
+
+    err0, failures, spf, frames0 = run(LONG_SEEDS[0], timing=True)
+    tr_per_seed = [err0.mean_rpe]
+    ape_per_seed = [err0.mean_ape]
+    total_failures = failures
+    for seed in LONG_SEEDS[1:]:
+        e, f, _, _ = run(seed, timing=False)
+        tr_per_seed.append(e.mean_rpe)
+        ape_per_seed.append(e.mean_ape)
+        total_failures += f
+    mean_tr = float(np.mean(tr_per_seed))
+    fps = 1.0 / spf if spf and np.isfinite(spf) else 0.0
+
+    # failure accounting mirrors the fast gates: scattered frame failures
+    # must not hide behind surviving segments that still grade well
+    return {
+        "metric": "synthetic_long_drive_segment_rpe",
+        "value": round(mean_tr, 4),
+        "unit": "%Tr",
+        "vs_baseline": round(1.0 / max(mean_tr, 1e-9), 3),
+        "frames": frames0,
+        "failures": total_failures,
+        "tr_per_seed": [round(t, 4) for t in tr_per_seed],
+        "wall_sec_per_frame": round(spf, 4) if np.isfinite(spf) else None,
+        "frames_per_sec": round(fps, 2),
+        "mean_ape_m": round(float(np.mean(ape_per_seed)), 4),
+        "ape_per_seed": [round(a, 4) for a in ape_per_seed],
+        "segments": len(err0.tab_errors),
+        "tr_bound_pct": LONG_TR_BOUND_PCT,
+        "accuracy_ok": bool(mean_tr <= LONG_TR_BOUND_PCT
+                            and total_failures == 0),
+        "throughput_ok": bool(fps >= LONG_FLOOR_FPS),
+        "floor_fps": LONG_FLOOR_FPS,
+    }
+
+
+GATES = {
+    "--driving": run_driving,
+    "--robust": run_robust,
+    "--escalation": run_escalation,
+    "--indoor": run_indoor,
+    "--long": run_long,
+}
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] in GATES:
+        n = int(args[1]) if len(args) > 1 else None
+        ok = emit(GATES[args[0]](n))
+        sys.exit(0 if ok else 1)
+    # default: ALL gates, one JSON line each, nonzero exit if any fails —
+    # the driver's BENCH artifact is self-proving (round-3 verdict task 2)
+    n = int(args[0]) if args else None
+    ok = True
+    for flag in ("--driving", "--robust", "--escalation", "--indoor",
+                 "--long"):
+        ok = emit(GATES[flag](n if flag == "--driving" else None)) and ok
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--long":
-        run_long()
-    elif len(sys.argv) > 1 and sys.argv[1] == "--robust":
-        run_robust()
-    else:
-        main()
+    main()

@@ -192,6 +192,15 @@ def synthetic_scene_from_node(node) -> "object":
         elif ptype in ("box_room", "room"):
             prims.extend(syn.box_room(float(p.get("half_extent", 10.0)),
                                       float(p.get("height", 4.0))))
+        elif ptype == "indoor_rooms":
+            prims.extend(syn.indoor_rooms(
+                n_rooms=int(p.get("n_rooms", 4)),
+                room=(float(p.get("room_w", 6.0)),
+                      float(p.get("room_d", 5.0))),
+                corridor_w=float(p.get("corridor_w", 2.0)),
+                height=float(p.get("height", 2.6)),
+                n_clutter=int(p.get("n_clutter", 10)),
+                seed=int(p.get("seed", 0))))
         elif ptype == "city_blocks":
             prims.extend(syn.city_blocks(
                 nx=int(p.get("nx", 5)), ny=int(p.get("ny", 3)),
@@ -206,8 +215,12 @@ def synthetic_scene_from_node(node) -> "object":
     return syn.Scene(prims)
 
 
-def synthetic_sequence_from_yaml(path: str):
-    """Build a SyntheticSequence dataset from a YAML scene+trajectory file."""
+def synthetic_sequence_from_yaml(path: str, seed=None):
+    """Build a SyntheticSequence dataset from a YAML scene+trajectory file.
+
+    ``seed`` overrides the file's scan-realization seed (the scene stays
+    identical); multi-seed gates (bench.py --long) grade the mean across
+    realizations instead of pinning one draw."""
     import numpy as np
     from ct_icp_tpu.datasets import synthetic as syn
     from ct_icp_tpu.datasets.dataset import SyntheticSequence
@@ -230,7 +243,10 @@ def synthetic_sequence_from_yaml(path: str):
             height=float(tnode.get("height", 1.7)),
             pose_rate=float(tnode.get("pose_rate", 20.0)),
             corner_radius=float(tnode.get("corner_radius", 4.0)),
-            max_accel=float(tnode.get("max_accel", 2.5)))
+            max_accel=float(tnode.get("max_accel", 2.5)),
+            sway_deg=float(tnode.get("sway_deg", 0.0)),
+            sway_period_s=float(tnode.get("sway_period_s", 1.2)),
+            bob_amp=float(tnode.get("bob_amp", 0.0)))
     else:
         raise ValueError(f"Unknown trajectory type {ttype}")
     acq_node = root.get("acquisition", {})
@@ -241,6 +257,7 @@ def synthetic_sequence_from_yaml(path: str):
         min_range=float(acq_node.get("min_range", 0.5)),
         noise_sigma=float(acq_node.get("noise_sigma", 0.0)),
         windowed=bool(acq_node.get("windowed", False)))
-    acq = syn.SyntheticSensorAcquisition(scene, traj, opts,
-                                         seed=int(root.get("seed", 0)))
+    acq = syn.SyntheticSensorAcquisition(
+        scene, traj, opts,
+        seed=int(root.get("seed", 0)) if seed is None else int(seed))
     return SyntheticSequence(acq)

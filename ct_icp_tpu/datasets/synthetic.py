@@ -310,7 +310,8 @@ def circular_trajectory(radius=8.0, height=1.5, num_poses=200,
 
 def waypoint_drive_trajectory(waypoints, speed_profile=None, height=1.7,
                               pose_rate=20.0, corner_radius=4.0,
-                              max_accel=2.5):
+                              max_accel=2.5, sway_deg=0.0,
+                              sway_period_s=1.2, bob_amp=0.0):
     """A driving trajectory along a 2-D waypoint polyline.
 
     The long-horizon analog of ``circular_trajectory`` for KITTI-style
@@ -322,6 +323,11 @@ def waypoint_drive_trajectory(waypoints, speed_profile=None, height=1.7,
     as profile dips). Acceleration from standstill is capped by
     ``max_accel`` (odometry's constant-velocity capture range needs the
     ramp, like real drives that begin at rest).
+
+    ``sway_deg``/``sway_period_s``/``bob_amp``: handheld-carry motion —
+    sinusoidal roll+pitch of that amplitude and a vertical bob, the
+    low-inertia regime (NCLT segway / handheld) where the begin/end
+    attitude changes within every scan.
     """
     wp = np.asarray(waypoints, np.float64)
     if wp.shape[1] == 2:
@@ -373,11 +379,109 @@ def waypoint_drive_trajectory(waypoints, speed_profile=None, height=1.7,
     # yaw from the smoothed tangent
     tang = np.gradient(xyz[:, :2], ss, axis=0, edge_order=1)
     yaw = np.unwrap(np.arctan2(tang[:, 1], tang[:, 0]))
+    sway = np.deg2rad(sway_deg)
     poses = []
     for i in range(n_poses):
         q = s3n.quat_from_rotvec(np.array([0.0, 0.0, yaw[i]]))
-        poses.append(Pose(q, xyz[i].copy(), timestamp=float(ts[i])))
+        if sway > 0.0:
+            w = 2.0 * np.pi * ts[i] / sway_period_s
+            roll = sway * np.sin(w)
+            pitch = 0.6 * sway * np.sin(0.77 * w + 1.0)
+            q = s3n.quat_mul(q, s3n.quat_mul(
+                s3n.quat_from_rotvec(np.array([0.0, pitch, 0.0])),
+                s3n.quat_from_rotvec(np.array([roll, 0.0, 0.0]))))
+        p = xyz[i].copy()
+        if bob_amp > 0.0:
+            p[2] += bob_amp * np.sin(2.0 * np.pi * ts[i] / (0.5 * sway_period_s))
+        poses.append(Pose(q, p, timestamp=float(ts[i])))
     return LinearContinuousTrajectory(poses)
+
+
+def _wall_with_door(corner, along, height=2.6, door_at=None, door_w=0.9,
+                    door_h=2.0):
+    """A vertical wall from ``corner`` along the 2-D vector ``along``,
+    optionally with a doorway cut at arclength ``door_at``."""
+    corner = np.asarray(corner, np.float64)
+    along = np.asarray(along, np.float64)
+    length = np.linalg.norm(along)
+    u = along / length
+    prims = []
+    if door_at is None or door_at < 0 or door_at + door_w > length:
+        prims += rectangle(corner, along, [0, 0, height])
+        return prims
+    left = u * door_at
+    if door_at > 1e-6:
+        prims += rectangle(corner, left, [0, 0, height])
+    right0 = corner + u * (door_at + door_w)
+    rlen = length - door_at - door_w
+    if rlen > 1e-6:
+        prims += rectangle(right0, u * rlen, [0, 0, height])
+    # lintel above the door
+    prims += rectangle(corner + left + [0, 0, door_h], u * door_w,
+                       [0, 0, height - door_h])
+    return prims
+
+
+def indoor_rooms(n_rooms=4, room=(6.0, 5.0), corridor_w=2.0, height=2.6,
+                 n_clutter=10, seed=0):
+    """A handheld-scale indoor scene: ``n_rooms`` rooms (2 per side) off a
+    central corridor, connected by 0.9 m doorways, with floor, ceiling and
+    furniture-like clutter. The NCLT-regime analog fixture: tight spaces,
+    surfaces at 1-6 m, doorway transitions that occlude whole walls.
+
+    The corridor runs along +x at y in [0, corridor_w]; rooms attach at
+    y < 0 and y > corridor_w. Doorways face the corridor.
+    """
+    rw, rd = room
+    per_side = (n_rooms + 1) // 2
+    length = per_side * rw
+    prims: List[Primitive] = []
+    rng = np.random.default_rng(seed)
+    # floor + ceiling tiles over the full footprint
+    tile = 3.0
+    for tx in np.arange(0.0, length, tile):
+        for ty in np.arange(-rd, corridor_w + rd, tile):
+            sx = min(tile, length - tx)
+            sy = min(tile, corridor_w + rd - ty)
+            prims += rectangle([tx, ty, 0.0], [sx, 0, 0], [0, sy, 0])
+            prims += rectangle([tx, ty, height], [sx, 0, 0], [0, sy, 0])
+    # corridor end walls
+    prims += _wall_with_door([0, -rd, 0], [0, corridor_w + 2 * rd, 0],
+                             height)
+    prims += _wall_with_door([length, -rd, 0], [0, corridor_w + 2 * rd, 0],
+                             height)
+    for k in range(n_rooms):
+        side = 1 if k % 2 else -1          # +1: y > corridor, -1: y < 0
+        i = k // 2
+        x0 = i * rw
+        y_wall = corridor_w if side > 0 else 0.0
+        # doorway centered on the room: routes defined in a YAML can pass
+        # through it without knowing the clutter seed
+        door_at = rw * 0.5 - 0.45
+        # corridor-facing wall with a doorway
+        prims += _wall_with_door([x0, y_wall, 0], [rw, 0, 0], height,
+                                 door_at=door_at)
+        # back wall + side walls of the room
+        y_back = y_wall + side * rd
+        prims += _wall_with_door([x0, y_back, 0], [rw, 0, 0], height)
+        prims += _wall_with_door([x0, min(y_wall, y_back), 0],
+                                 [0, rd, 0], height)
+        prims += _wall_with_door([x0 + rw, min(y_wall, y_back), 0],
+                                 [0, rd, 0], height)
+        # furniture-like clutter: boxes (as 2-3 faces) and balls
+        for _ in range(n_clutter // 2):
+            cx = x0 + rng.uniform(0.8, rw - 0.8)
+            cy = (y_wall + side * rng.uniform(0.8, rd - 0.8))
+            if rng.uniform() < 0.5:
+                h = rng.uniform(0.4, 1.2)
+                w = rng.uniform(0.4, 1.5)
+                prims += rectangle([cx, cy, h], [w, 0, 0], [0, w, 0])
+                prims += rectangle([cx, cy, 0], [w, 0, 0], [0, 0, h])
+                prims += rectangle([cx, cy, 0], [0, w, 0], [0, 0, h])
+            else:
+                prims.append(Ball(np.array([cx, cy, 0.35]),
+                                  rng.uniform(0.2, 0.4)))
+    return prims
 
 
 def city_blocks(nx=5, ny=3, block=40.0, street=14.0, height=8.0,

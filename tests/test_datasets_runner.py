@@ -310,3 +310,29 @@ class TestHILTI:
         ds = D.Dataset.load_dataset(D.DatasetOptions(
             dataset=D.DatasetEnum.HILTI_2021, root_path=str(tmp_path)))
         assert ds.has_sequence("03")
+
+
+def test_indoor_rooms_scene_and_sway_trajectory():
+    """Round-4 indoor fixtures: the indoor_rooms generator + handheld sway
+    (bench --indoor, configs/synthetic_indoor_walk.yaml)."""
+    import numpy as np
+
+    from ct_icp_tpu.config.yaml_config import synthetic_sequence_from_yaml
+    from ct_icp_tpu.core import se3_np as s3n
+
+    seq = synthetic_sequence_from_yaml("configs/synthetic_indoor_walk.yaml",
+                                       seed=1)
+    acq = seq.acq
+    assert acq.num_frames() > 100
+    fr = acq.frame(3)
+    assert fr["xyz"].shape[0] > 30_000
+    # indoor scale: everything within the building envelope
+    r = np.linalg.norm(fr["xyz"], axis=1)
+    assert r.max() < 30.0 and r.min() >= 0.4
+    # handheld sway: the begin->end attitude changes WITHIN the scan
+    qb, qe = fr["begin_pose"].quat, fr["end_pose"].quat
+    assert s3n.angular_distance_deg(qb, qe) > 0.2
+    # seed override changes the realization, not the geometry scale
+    fr2 = synthetic_sequence_from_yaml(
+        "configs/synthetic_indoor_walk.yaml", seed=2).acq.frame(3)
+    assert not np.allclose(fr2["xyz"][:100], fr["xyz"][:100])
