@@ -290,7 +290,17 @@ class BackendOptions:
     period: int = 8          # refine every N registered frames
     num_steps: int = 2       # outer CT-BA steps per refinement
     keep_first_frames: int = 2   # anchor frames never refined
-    replay: bool = True      # propagate refined poses into the map
+    # replay: propagate refined poses into the map (evict + re-insert the
+    # retained frames). Sound for REVISITING/static regimes, where the
+    # frame ring covers the evicted geometry and refinements compound
+    # (measured -20%+ error on an under-converged room, tests/test_ct_ba).
+    # UNSOUND for traversal: each surface is seen by only a few
+    # consecutive frames, so eviction erases non-ring history and the
+    # refine->replay->re-localize loop amplifies drift (round-4
+    # measurement, tools/ab_backend.py: 96-frame urban drive mean APE
+    # 0.38 off / 0.42 refine-only / 0.63 with replay; 500 frames with
+    # replay diverges outright, 15.8 %Tr with 243 failures). Default OFF.
+    replay: bool = False
     # weighting (see odometry/backend.py make_assemble_fn): pose-anchor
     # prior weight (pins the point-to-plane tangential null space) and
     # continuity-edge beta, both absolute vs a point block of strength 10

@@ -95,7 +95,7 @@ class CTBABackend:
 
     def __init__(self, odometry, window: int = 8, period: int = 8,
                  num_steps: int = 2, mesh: Optional[Mesh] = None,
-                 keep_first_frames: int = 2, replay: bool = True,
+                 keep_first_frames: int = 2, replay: bool = False,
                  prior_weight: float = 1.5, continuity_beta: float = 2.0):
         self.odometry = odometry
         self.window = window
@@ -103,7 +103,9 @@ class CTBABackend:
         self.num_steps = num_steps
         self.keep_first = keep_first_frames
         # propagate refinements into the map (evict + re-insert retained
-        # frames at their refined poses) — see Odometry.replay_refined_frames
+        # frames at their refined poses) — see Odometry.replay_refined_frames.
+        # Default OFF: sound only for revisiting/static regimes (see
+        # BackendOptions.replay for the traversal failure mode + numbers)
         self.replay = replay
         reg = odometry.registration
         self.assemble = make_assemble_fn(

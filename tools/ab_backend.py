@@ -2,12 +2,16 @@
 task 9): %Tr delta and fps cost of backend.enabled at bench shapes.
 
 The backend consumes per-frame keypoint arrays, which the batched
-megastep does not expose — backend-on runs batch=1 streaming. Three
-variants so the backend's cost decomposes cleanly:
+megastep does not expose — backend-on runs batch=1 streaming. Variants:
 
-  off/batch=16  — the production bench configuration
-  off/batch=1   — the backend-compatible baseline (isolates batching)
-  on/batch=1    — backend enabled (window/period per BackendOptions)
+  off/batch=16       — the production bench configuration
+  off/batch=1        — the backend-compatible baseline (isolates batching)
+  on/batch=1         — backend enabled, DEFAULT options (refine-only)
+  on+replay/batch=1  — backend with map replay (the traversal failure
+                       mode: refine->replay->re-localize feedback)
+
+Frames are pre-rendered once and shared so fps numbers measure the
+framework, not the renderer.
 
   PYTHONPATH=/root/repo python -u tools/ab_backend.py [frames] [seed]
 """
@@ -22,25 +26,38 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def run(frames, seed, backend_on, batch):
-    from ct_icp_tpu.config.options import default_driving_profile
+_CACHE = {}
+
+
+def rendered(frames, seed):
     from ct_icp_tpu.config.yaml_config import synthetic_sequence_from_yaml
+    key = (frames, seed)
+    if key not in _CACHE:
+        acq = synthetic_sequence_from_yaml(
+            "configs/synthetic_long_drive.yaml", seed=seed).acq
+        n = min(frames, acq.num_frames())
+        _CACHE.clear()
+        _CACHE[key] = [acq.frame(i) for i in range(n)]
+    return _CACHE[key]
+
+
+def run(frames, seed, backend_on, batch, replay=False):
+    from ct_icp_tpu.config.options import default_driving_profile
     from ct_icp_tpu.evaluation.kitti import evaluate_poses
     from ct_icp_tpu.odometry.concurrent import PrefetchIterator
     from ct_icp_tpu.odometry.odometry import Odometry
 
-    seq = synthetic_sequence_from_yaml("configs/synthetic_long_drive.yaml",
-                                       seed=seed)
-    acq = seq.acq
-    n = min(frames, acq.num_frames())
+    cache = rendered(frames, seed)
+    n = (len(cache) // batch) * batch   # whole megasteps (no tail compile)
     opts = default_driving_profile()
     if backend_on:
         opts = dataclasses.replace(
-            opts, backend=dataclasses.replace(opts.backend, enabled=True))
+            opts, backend=dataclasses.replace(opts.backend, enabled=True,
+                                              replay=replay))
     odo = Odometry(opts)
 
     def _prepare(i):
-        fr = acq.frame(i)
+        fr = cache[i]
         prep = odo.prepare_frame(fr["xyz"], fr["timestamps"],
                                  registered_fid=i, frame_id=i, upload=False,
                                  pad_rung=odo.options.max_scan_points)
@@ -77,7 +94,7 @@ def run(frames, seed, backend_on, batch):
     est = [f.end_pose for f in odo.get_trajectory()]
     err = evaluate_poses(gt, est, driving=True)
     out = {
-        "backend": backend_on, "batch": batch,
+        "backend": backend_on, "replay": replay, "batch": batch,
         "tr_pct": round(err.mean_rpe, 4),
         "ape_m": round(err.mean_ape, 4),
         "fps": round(1.0 / spf, 2),
@@ -91,8 +108,9 @@ def run(frames, seed, backend_on, batch):
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
-    for backend_on, batch in ((False, 16), (False, 1), (True, 1)):
-        r = run(frames, seed, backend_on, batch)
+    for backend_on, batch, replay in ((False, 16, False), (False, 1, False),
+                                      (True, 1, False), (True, 1, True)):
+        r = run(frames, seed, backend_on, batch, replay)
         print(json.dumps(r), flush=True)
 
 
