@@ -57,10 +57,11 @@ APE_SEEDS = (3, 4, 5)
 # Throughput floors (vs_baseline multiples). A value below the floor exits
 # nonzero even when accuracy holds: the TPU story IS the speedup, and a 2x
 # throughput regression previously shipped green (round-3 verdict weak #4).
-# Pinned 2026-08-21 (round 4, full-bench quiet run): driving measured
-# 8.71x (101.9 fps, mnn=40 profile) / robust 11.45x (44.0 fps); floors
-# keep ~10-15 % headroom for tunnel jitter.
-DRIVING_FLOOR_X = 7.5
+# Pinned 2026-08-21 (round 4, quiet-chip runs after the cached-knn-radius
+# + ls=3 solver changes): driving measured 9.5x (111 fps, mnn=40
+# profile) / robust 11.4x (43.7 fps); floors keep ~12-16 % headroom for
+# tunnel jitter.
+DRIVING_FLOOR_X = 8.0
 ROBUST_FLOOR_X = 9.5
 
 # Long-horizon gate (--long): 500-frame synthetic urban drive graded by
@@ -641,28 +642,39 @@ def run_long(num_frames=None):
         failures = 0
         t_start = None
         timed = 0
+        burst_ends = []
         for i, s in enumerate(odo.stream_frames(prep_iter(), batch=BATCH)):
             if i == warmup - 1:
                 t_start = time.time()
+                burst_ends.append(t_start)
             elif i >= warmup:
                 timed += 1
+                if (i + 1) % BATCH == 0:
+                    burst_ends.append(time.time())
             if not s.success:
                 failures += 1
-        spf = ((time.time() - t_start) / timed
-               if (timing and timed) else float("nan"))
+        # MEDIAN per-megastep frame time, like the driving gate: the tunnel
+        # occasionally wedges for seconds (docs/PERF.md), and over a 30-burst
+        # window a couple of stalls shift the MEAN by 30-50 % — the median
+        # measures the sustained rate the floor is pinned against
+        bursts = np.diff(burst_ends)
+        spf = (float(np.median(bursts)) / BATCH
+               if (timing and len(bursts)) else float("nan"))
+        wall_spf = ((time.time() - t_start) / timed
+                    if (timing and timed) else float("nan"))
 
         first_gt = begin0[0]
         gt = [first_gt.inverse() * p for p in gt_ends[:len(odo.trajectory)]]
         est = [f.end_pose for f in odo.get_trajectory()]
         err = evaluate_poses(gt, est, driving=True)
-        return err, failures, spf, len(est)
+        return err, failures, spf, wall_spf, len(est)
 
-    err0, failures, spf, frames0 = run(LONG_SEEDS[0], timing=True)
+    err0, failures, spf, wall_spf, frames0 = run(LONG_SEEDS[0], timing=True)
     tr_per_seed = [err0.mean_rpe]
     ape_per_seed = [err0.mean_ape]
     total_failures = failures
     for seed in LONG_SEEDS[1:]:
-        e, f, _, _ = run(seed, timing=False)
+        e, f, _, _, _ = run(seed, timing=False)
         tr_per_seed.append(e.mean_rpe)
         ape_per_seed.append(e.mean_ape)
         total_failures += f
@@ -679,7 +691,9 @@ def run_long(num_frames=None):
         "frames": frames0,
         "failures": total_failures,
         "tr_per_seed": [round(t, 4) for t in tr_per_seed],
-        "wall_sec_per_frame": round(spf, 4) if np.isfinite(spf) else None,
+        "sec_per_frame": round(spf, 4) if np.isfinite(spf) else None,
+        "wall_sec_per_frame": (round(wall_spf, 4)
+                               if np.isfinite(wall_spf) else None),
         "frames_per_sec": round(fps, 2),
         "mean_ape_m": round(float(np.mean(ape_per_seed)), 4),
         "ape_per_seed": [round(a, 4) for a in ape_per_seed],

@@ -452,12 +452,15 @@ def default_driving_profile() -> OdometryOptions:
             # only widens the adaptive-radius histogram target).
             max_number_neighbors=40,
             # DELIBERATE deviation: the reference DefaultDrivingProfile
-            # leaves the base default of 1 (ct_icp.h:120). Measured A/B
-            # (2026-08-21, deterministic bench): 1 is better on a 48-frame
-            # horizon (APE 0.0687 vs 0.0728) but worse at 80 frames
-            # (0.0809 vs 0.0707) at equal speed — long-horizon drift wins;
-            # see docs/PARITY.md deviation table.
-            ls_max_num_iters=5,
+            # leaves the base default of 1 (ct_icp.h:120). Round-2 A/B kept
+            # 5 (1 wins short-horizon, loses at 80 frames). Round 4, with
+            # the ceres function_tolerance convergence exit in the LM inner
+            # loop, re-ran the gate A/B: ls 5/3/2 give 3-seed APE
+            # 0.0587/0.0587/0.0584 (identical to the pinned digit) at
+            # 101/105/103 fps — the inner loop converges by ~3 steps and
+            # the cap only trims converged iterations. 3 keeps a safety
+            # step over the measured convergence point.
+            ls_max_num_iters=3,
             ls_sigma=0.1,
         ))
 

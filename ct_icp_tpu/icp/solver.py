@@ -244,21 +244,30 @@ def _build_problem(statics: SolverStatics, dyn: SolverDynamics, level,
                 statics.use_normal_filter, dyn.threshold_voxel_occupancy,
                 max_candidates=statics.max_candidate_voxels)
 
+        # cache = (rows, cnt_ok, r_eff2): the knn-cap radius rides with the
+        # candidate rows — its [M,O,P,bins] histogram recomputes only on
+        # regather iterations (measured ~1.9 ms/rescore at driving shapes
+        # for an output that moves less than a shell width between
+        # iterations; the LM accept/reject guards the reuse)
         if cached_planes is None:
-            planes = fresh_gather(None)
+            rows, cnt_ok = fresh_gather(None)
+            cached_r, use_fresh = None, None
         else:
-            planes = jax.lax.cond(do_gather, fresh_gather,
-                                  lambda _: cached_planes, None)
-        rows, cnt_ok = planes
-        ncount, sum_rel, sum_outer, closest, closest_dist = \
+            rows, cnt_ok = jax.lax.cond(
+                do_gather, fresh_gather,
+                lambda _: (cached_planes[0], cached_planes[1]), None)
+            cached_r, use_fresh = cached_planes[2], do_gather
+        ncount, sum_rel, sum_outer, closest, closest_dist, r_eff2 = \
             vm.moments_from_planes(
                 rows, cnt_ok, world, radius,
                 k_nearest=(dyn.max_number_neighbors
-                           if statics.knn_moments else None))
+                           if statics.knn_moments else None),
+                cached_r_eff2=cached_r, use_fresh=use_fresh,
+                return_r_eff2=True)
         ok = valid & (ncount >= dyn.min_number_neighbors)
         desc = description_from_moments(ncount, sum_rel, sum_outer, world)
         closest_dist = jnp.where(jnp.isfinite(closest_dist), closest_dist, 0.0)
-        cached_planes = planes
+        cached_planes = (rows, cnt_ok, r_eff2)
     else:
         neigh, nmask, nd = vm.radius_search(
             level, world, valid, radius, dyn.voxel_resolution,
@@ -441,7 +450,12 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
                     and statics.num_closest_neighbors <= 1)
 
     def body(carry):
-        it, q0, t0, q1, t1, lam, _, _ = carry
+        # carry[6] is the CURRENT state's total cost (computed once before
+        # the loop, then updated from the accept/reject outcome) —
+        # re-evaluating total_cost(zero) here cost one full residual pass
+        # per inner iteration for a value the previous iteration already
+        # had (up to apply_delta(zero) normalization float noise)
+        it, q0, t0, q1, t1, lam, cost0, _ = carry
 
         if use_analytic:
             # one world transform serves residual AND Jacobian; the pose
@@ -503,7 +517,6 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
         b = -jtr / d * keep
         delta = jnp.linalg.solve(a, b) / d * keep
 
-        cost0 = total_cost(zero, q0, t0, q1, t1)
         cost1 = total_cost(delta, q0, t0, q1, t1)
         accept = cost1 < cost0
         best = jnp.where(accept, cost1, cost0)
@@ -521,7 +534,7 @@ def _lm_inner_loop(statics, dyn, raw, alphas, anchors, normals, lines, cov_inv,
         return it + 1, q0, t0, q1, t1, lam, best, done
 
     init = (jnp.int32(0), qb, tb, qe, te, jnp.asarray(1e-4, raw.dtype),
-            jnp.asarray(jnp.inf, raw.dtype), jnp.asarray(False))
+            total_cost(zero, qb, tb, qe, te), jnp.asarray(False))
     _, q0, t0, q1, t1, _, cost, _ = jax.lax.while_loop(cond, body, init)
     return q0, t0, q1, t1, cost, n_res
 

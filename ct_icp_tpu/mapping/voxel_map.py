@@ -675,7 +675,8 @@ def _knn_radius2(d2, ok, radius_arr, k_nearest, bins: int):
 
 
 def moments_from_planes(rows, cnt_ok, queries, radius, k_nearest=None,
-                        knn_bins: int = 32):
+                        knn_bins: int = 32, cached_r_eff2=None,
+                        use_fresh=None, return_r_eff2: bool = False):
     """Scoring half: in-radius moments of cached candidate rows vs the
     *current* query positions (pure elementwise — cheap to repeat).
 
@@ -683,7 +684,17 @@ def moments_from_planes(rows, cnt_ok, queries, radius, k_nearest=None,
     approximately the k nearest candidates via :func:`_knn_radius2` —
     reference max_number_neighbors semantics (neighborhood_strategy.h:60-85).
 
-    Returns (count, sum_rel, sum_outer, closest, closest_dist)."""
+    ``cached_r_eff2`` + ``use_fresh`` (traced bool): the histogram radius
+    selection is the expensive part of the rescore (a [M, O, P, bins]
+    compare+reduce, ~1.9 ms at driving shapes) while its OUTPUT barely
+    moves between ICP iterations (pose deltas are mm-cm, the shell
+    tolerance is radius/bins). Callers that cache candidate rows across
+    iterations (the solver) pass the gather-time radius back in and only
+    recompute it when ``use_fresh`` (i.e. on regather iterations) — the
+    LM accept/reject guards the reuse.
+
+    Returns (count, sum_rel, sum_outer, closest, closest_dist) and, when
+    ``return_r_eff2``, the per-query squared cap radius as a sixth value."""
     m = queries.shape[0]
     p = rows.shape[-1] // 3
     x, y, z = _xyz_planes(rows, p)                   # fused slices of rows
@@ -694,8 +705,16 @@ def moments_from_planes(rows, cnt_ok, queries, radius, k_nearest=None,
     radius_arr = radius if jnp.ndim(radius) > 0 else jnp.full((m,), radius)
     in_cap = jnp.arange(p, dtype=jnp.int32)[None, None, :] < cnt_ok[..., None]
     ok = in_cap & (d2 <= (radius_arr ** 2)[:, None, None])
+    r_eff2 = radius_arr * radius_arr
     if k_nearest is not None:
-        r_eff2 = _knn_radius2(d2, ok, radius_arr, k_nearest, knn_bins)
+        if cached_r_eff2 is not None:
+            r_eff2 = jax.lax.cond(
+                use_fresh,
+                lambda: _knn_radius2(d2, ok, radius_arr, k_nearest,
+                                     knn_bins),
+                lambda: cached_r_eff2)
+        else:
+            r_eff2 = _knn_radius2(d2, ok, radius_arr, k_nearest, knn_bins)
         ok = ok & (d2 <= r_eff2[:, None, None])
 
     w = ok.astype(queries.dtype)
@@ -719,6 +738,8 @@ def moments_from_planes(rows, cnt_ok, queries, radius, k_nearest=None,
     closest = jnp.stack([cx, cy, cz], axis=-1)
     cd2 = jnp.take_along_axis(d2m, amin[:, None], 1)[:, 0]
     closest_dist = jnp.where(count > 0, jnp.sqrt(cd2), jnp.inf)
+    if return_r_eff2:
+        return count, sum_rel, sum_outer, closest, closest_dist, r_eff2
     return count, sum_rel, sum_outer, closest, closest_dist
 
 
