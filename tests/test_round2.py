@@ -162,3 +162,33 @@ def test_profiled_matches_fused_poses():
     diffs = [s.logged_values["profile_replay_pose_diff_m"]
              for s in summaries[1:]]
     assert max(diffs) < 1e-3, diffs
+
+
+def test_moments_cached_radius_semantics():
+    """The knn-cap radius cached across rescore iterations (round-4 perf):
+    with use_fresh=True the cached value is ignored (bit-equal to a fresh
+    histogram); with use_fresh=False the provided radius is applied as-is."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    m, o, p = 32, 27, 30
+    rows = jnp.asarray(rng.uniform(-1, 1, (m, o, 3 * p)).astype(np.float32))
+    cnt = jnp.asarray(rng.integers(0, p + 1, (m, o)).astype(np.int32))
+    q = jnp.asarray(rng.uniform(-0.2, 0.2, (m, 3)).astype(np.float32))
+    k = jnp.int32(20)
+
+    fresh = vm.moments_from_planes(rows, cnt, q, 0.75, k_nearest=k,
+                                   return_r_eff2=True)
+    # fresh-with-cache-present == fresh (the cache is ignored)
+    refreshed = vm.moments_from_planes(
+        rows, cnt, q, 0.75, k_nearest=k,
+        cached_r_eff2=jnp.full((m,), 1e-6, jnp.float32),
+        use_fresh=jnp.asarray(True), return_r_eff2=True)
+    for a, b in zip(fresh, refreshed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # reuse: the cached radius is applied verbatim
+    reused = vm.moments_from_planes(
+        rows, cnt, q, 0.75, k_nearest=k, cached_r_eff2=fresh[5],
+        use_fresh=jnp.asarray(False), return_r_eff2=True)
+    np.testing.assert_array_equal(np.asarray(reused[5]), np.asarray(fresh[5]))
+    np.testing.assert_array_equal(np.asarray(reused[0]), np.asarray(fresh[0]))
