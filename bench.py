@@ -74,11 +74,18 @@ ROBUST_FLOOR_X = 9.5
 # the BASELINE.md north star (the reference's real-KITTI baselines are
 # 0.5-1.0 % on 500-frame drives); reached by adopting
 # max_number_neighbors=40 in the driving profile after the round-4
-# cross-gate A/B (docs/PARITY.md). Wall floor: the timed seed must also
-# sustain the pinned frames/s (steady state, warmup excluded).
+# cross-gate A/B (docs/PARITY.md). Throughput floor: the timed seed must
+# sustain the pinned frames/s (median megastep burst, warmup excluded,
+# frames pre-rendered). Floor 40: measured sustained rate varies 48-78
+# fps across quiet runs (tunnel/session variance the per-gate median
+# cannot fully reject over a 15-minute artifact run); 40 still catches
+# the render-starvation class of bug (4 fps) and any 2x device
+# regression while not flaking on the spread. The driving/robust floors
+# (8x/9.5x, low-variance 80-frame windows) carry the precise throughput
+# story.
 LONG_TR_BOUND_PCT = 0.50
 LONG_SEEDS = (7, 8, 9)
-LONG_FLOOR_FPS = 60.0
+LONG_FLOOR_FPS = 40.0
 LONG_CONFIG = "configs/synthetic_long_drive.yaml"
 
 # Robust-path gate (--robust): the same corridor scene driven through the
@@ -94,14 +101,16 @@ ROBUST_APE_BOUND_M = 0.058
 # 2.5-degree intra-scan sway, 0.8 m/s) driven through the third profile
 # default_robust_outdoor_low_inertia (odometry.cpp:92-151) and graded with
 # INDOOR segment lengths {10..80} m (SlamCore/eval.cxx:55-60) — NCLT's
-# actual regime. 3 scene-realization seeds. Pinned 2026-08-21: 3-seed mean
-# 1.59 %Tr (seeds 1.39/2.48/0.90 — doorway-turn transients of ~1 m that
-# recover dominate the short INDOOR segments; mean APE is the stabler
-# signal at 0.064, seeds 0.084/0.054/0.055) + headroom. For scale: the
-# reference's NCLT regression baseline is 1.36 %Tr over 2000 real frames
-# (regression_config_short_nclt.yaml). The %Tr bound catches gross
-# regressions (a broken turn path measures 39 %Tr); the APE bound is the
-# precision pin.
+# actual regime. 3 scene-realization seeds. Pinned 2026-08-21: measured
+# 3-seed mean 1.59 %Tr pre- and 1.00 %Tr post- the round-4 solver
+# changes (seeds swung 0.87-2.50 between numerics — doorway-turn
+# transients of ~1 m that recover dominate the short INDOOR segments and
+# are chaotic across realizations; mean APE is the stabler signal at
+# 0.054-0.064). Bound 2.6 = the worse measured mean + ~60 % headroom.
+# For scale: the reference's NCLT regression baseline is 1.36 %Tr over
+# 2000 real frames (regression_config_short_nclt.yaml). The %Tr bound
+# catches gross regressions (a broken turn path measures 39 %Tr); the
+# APE bound is the precision pin.
 INDOOR_TR_BOUND_PCT = 2.6
 INDOOR_APE_BOUND_M = 0.12
 INDOOR_SEEDS = (7, 8, 9)
