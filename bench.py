@@ -734,9 +734,31 @@ def main():
     # the driver's BENCH artifact is self-proving (round-3 verdict task 2)
     n = int(args[0]) if args else None
     ok = True
+    results = {}
     for flag in ("--driving", "--robust", "--escalation", "--indoor",
                  "--long"):
-        ok = emit(GATES[flag](n if flag == "--driving" else None)) and ok
+        r = GATES[flag](n if flag == "--driving" else None)
+        results[flag.lstrip("-")] = r
+        ok = emit(r) and ok
+    # canonical summary as the LAST line (what a tail-parser reads):
+    # headline = the driving gate, with every gate's verdict embedded
+    d = results["driving"]
+    print(json.dumps({
+        "metric": "five_gate_summary",
+        "value": d["value"], "unit": "frames/s",
+        "vs_baseline": d["vs_baseline"],
+        "gates_green": sum(
+            1 for r in results.values()
+            if r.get("accuracy_ok", True) and r.get("throughput_ok", True)),
+        "gates_total": len(results),
+        "driving_ape_m": d["mean_ape_m"],
+        "robust_vs_baseline": results["robust"]["vs_baseline"],
+        "robust_ape_m": results["robust"]["mean_ape_m"],
+        "escalation_ok": results["escalation"]["accuracy_ok"],
+        "indoor_tr_pct": results["indoor"]["value"],
+        "long_tr_pct": results["long"]["value"],
+        "long_fps": results["long"]["frames_per_sec"],
+    }), flush=True)
     sys.exit(0 if ok else 1)
 
 
