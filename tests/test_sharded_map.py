@@ -194,3 +194,33 @@ def test_partitioned_insert_overflow_accounting(mesh):
     # (delivered ones may still lose the per-voxel election — that is the
     # map's capacity semantics, not the exchange's)
     assert int(dropped) < 2048
+
+
+@pytest.mark.slow
+def test_partitioned_insert_multi_level(mesh):
+    """Partitioned insert with a MULTI-resolution map: per-level owner maps
+    differ (owners hash the level's own voxel coords), and each level's
+    content must still match the broadcast insert's."""
+    opts3 = MultiResolutionVoxelMapOptions(
+        resolutions=(ResolutionParam(0.4, 0.0, 20, 14),
+                     ResolutionParam(1.2, 0.0, 30, 13)),
+        default_radius=0.75)
+    rng = np.random.default_rng(6)
+    pts = rng.uniform(-10, 10, (2400, 3)).astype(np.float32)
+    valid = jnp.ones(2400, bool)
+    z3 = jnp.zeros(3, jnp.float32)
+
+    s_b = sm.make_sharded_map(mesh, opts3)
+    upd_b = sm.make_sharded_update_fn(mesh, opts3, 1 << 12)
+    s_b, n_b = upd_b(s_b, jnp.asarray(pts), valid, z3, z3, jnp.float32(1e9))
+
+    s_p = sm.make_sharded_map(mesh, opts3)
+    upd_p = sm.make_partitioned_update_fn(mesh, opts3, 1 << 12)
+    s_p, n_p, dropped = upd_p(s_p, jnp.asarray(pts), valid, z3, z3,
+                              jnp.float32(1e9))
+    assert int(dropped) == 0
+    assert int(n_p) == int(n_b)
+    for li in range(2):
+        a = sum(int(jnp.sum(lvl.count)) for lvl in [s_p.levels[li]])
+        b = sum(int(jnp.sum(lvl.count)) for lvl in [s_b.levels[li]])
+        assert a == b, (li, a, b)
