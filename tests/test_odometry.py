@@ -333,3 +333,30 @@ def test_degenerate_scans_are_handled():
     s = odo.register_frame(np.array([[1.0, 2.0, 0.5]]), np.array([0.25]),
                            frame_id=2)
     assert not s.success
+
+
+@pytest.mark.slow
+def test_streaming_batch_size_invariance():
+    """Non-robust megastep streaming must give the same trajectory at any
+    batch size: the lax.scan over frames only restructures DISPATCH, never
+    semantics (each frame's body is the same stream_body). Guard pinned
+    tight — batch-dependent results would mean the scan carry or the
+    motion-init state diverged from the per-frame path."""
+    acq = make_acquisition(seed=9)
+    n = 12
+    frames = [acq.frame(i) for i in range(n)]
+
+    def run(batch):
+        odo = Odometry(small_options())
+        preps = (odo.prepare_frame(fr["xyz"], fr["timestamps"], i)
+                 for i, fr in enumerate(frames))
+        summaries = list(odo.stream_frames(preps, batch=batch))
+        assert len(summaries) == n and all(s.success for s in summaries)
+        return odo.get_trajectory()
+
+    t1, t4, t8 = run(1), run(4), run(8)
+    for a, b in zip(t1, t4):
+        assert a.end_pose.location_distance(b.end_pose) < 1e-5
+        assert a.end_pose.angular_distance(b.end_pose) < 1e-3
+    for a, b in zip(t1, t8):
+        assert a.end_pose.location_distance(b.end_pose) < 1e-5
