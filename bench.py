@@ -394,13 +394,17 @@ def run_driving(num_frames=None):
     ape = float(np.mean(apes))
 
     vs = fps / BASELINE_FRAMES_PER_SEC
+    # smoke mode: fewer frames than the warmup window leaves nothing to
+    # time — report accuracy only, never a vacuous 0-fps floor failure
+    smoke = timed == 0
     return {
         "metric": "synthetic_driving_odometry_throughput",
-        "value": round(fps, 3),
+        "value": round(fps, 3) if not smoke else None,
         "unit": "frames/s",
-        "vs_baseline": round(vs, 3),
-        "sec_per_frame": round(med_spf, 4),
-        "wall_sec_per_frame": round(sec_per_frame, 4),
+        "vs_baseline": round(vs, 3) if not smoke else None,
+        "sec_per_frame": round(med_spf, 4) if not smoke else None,
+        "wall_sec_per_frame": (round(sec_per_frame, 4)
+                               if not smoke else None),
         "frames": timed,
         "failures": failures,
         "map_points": odo.map_size(),
@@ -409,7 +413,7 @@ def run_driving(num_frames=None):
         "final_drift_m": round(float(errs[-1]), 4) if errs else None,
         "accuracy_ok": bool(ape <= APE_BOUND_M and failures == 0),
         "ape_bound_m": APE_BOUND_M,
-        "throughput_ok": bool(vs >= DRIVING_FLOOR_X),
+        "throughput_ok": bool(smoke or vs >= DRIVING_FLOOR_X),
         "floor_x": DRIVING_FLOOR_X,
     }
 
@@ -473,12 +477,13 @@ def run_robust(num_frames=None):
     fps = 1.0 / med_spf
 
     vs = fps * ROBUST_BASELINE_SEC_PER_FRAME
+    smoke = stats["timed"] == 0
     return {
         "metric": "synthetic_robust_odometry_throughput",
-        "value": round(fps, 3),
+        "value": round(fps, 3) if not smoke else None,
         "unit": "frames/s",
-        "vs_baseline": round(vs, 3),
-        "sec_per_frame": round(med_spf, 4),
+        "vs_baseline": round(vs, 3) if not smoke else None,
+        "sec_per_frame": round(med_spf, 4) if not smoke else None,
         "frames": stats["timed"],
         "failures": stats["failures"],
         "mean_attempts": round(stats["attempts"] / max(stats["timed"], 1), 3),
@@ -486,7 +491,7 @@ def run_robust(num_frames=None):
         "ape_per_seed": [round(a, 4) for a in apes],
         "accuracy_ok": bool(ape <= ROBUST_APE_BOUND_M),
         "ape_bound_m": ROBUST_APE_BOUND_M,
-        "throughput_ok": bool(vs >= ROBUST_FLOOR_X),
+        "throughput_ok": bool(smoke or vs >= ROBUST_FLOOR_X),
         "floor_x": ROBUST_FLOOR_X,
     }
 
