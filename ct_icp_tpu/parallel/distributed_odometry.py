@@ -145,15 +145,44 @@ class DistributedOdometry:
     """
 
     def __init__(self, mesh: Mesh, options: OdometryOptions,
-                 axis_name: str = "map"):
+                 axis_name: str = "map", map_update: str = "broadcast"):
+        """``map_update`` selects the distributed insert variant:
+
+        * ``"broadcast"`` (default): the full scan is replicated to every
+          shard, which masks by voxel ownership — ICI-cheap, but the
+          claim/election compute is O(scan) per shard, so insert wall time
+          is mesh-size-invariant.
+        * ``"partitioned"``: the scan is split 1/N per shard, voxel
+          ownership is exchanged with one ``lax.all_to_all`` per level, and
+          each shard's claim/election runs on O(scan/N) points — the
+          throughput-scaling variant for when insert sits on the critical
+          path (docs/SCALING.md). Overflowed points (beyond the fixed
+          all_to_all send capacity) are dropped and counted in
+          ``self.dropped_points``; slack=2 makes this vanishingly rare for
+          hash-uniform voxel owners.
+
+        Both variants produce the same map content (each shard inserts
+        exactly the points it owns, in global scan order) — pinned by
+        tests/test_sharded_map.py and the shard-invariance check in
+        tests/test_distributed_odometry.py.
+        """
         self.mesh = mesh
         self.axis_name = axis_name
         self.options = options
         self.map_options = options.map_options
         self.map_state = sm.make_sharded_map(mesh, self.map_options,
                                              axis_name)
-        self.update = sm.make_sharded_update_fn(
-            mesh, self.map_options, options.max_dirty_voxels, axis_name)
+        if map_update not in ("broadcast", "partitioned"):
+            raise ValueError(f"unknown map_update {map_update!r} "
+                             "(want 'broadcast' or 'partitioned')")
+        self.map_update = map_update
+        self.dropped_points = 0
+        if map_update == "partitioned":
+            self.update = sm.make_partitioned_update_fn(
+                mesh, self.map_options, options.max_dirty_voxels, axis_name)
+        else:
+            self.update = sm.make_sharded_update_fn(
+                mesh, self.map_options, options.max_dirty_voxels, axis_name)
         level_idx, nv = self.map_options.search_params(
             self.map_options.default_radius)
         self.statics = slv.SolverStatics(
@@ -250,11 +279,19 @@ class DistributedOdometry:
             jnp.asarray(frame.end_pose.quat, jnp.float32),
             jnp.asarray(frame.end_pose.tr, jnp.float32),
             sub_raw, sub_al))
-        self.map_state, _ = self.update(
-            self.map_state, world, sub_ok,
-            jnp.asarray(frame.begin_pose.tr, jnp.float32),
-            jnp.asarray(frame.end_pose.tr, jnp.float32),
-            jnp.float32(o.max_distance))
+        if self.map_update == "partitioned":
+            self.map_state, _, dropped = self.update(
+                self.map_state, world, sub_ok,
+                jnp.asarray(frame.begin_pose.tr, jnp.float32),
+                jnp.asarray(frame.end_pose.tr, jnp.float32),
+                jnp.float32(o.max_distance))
+            self.dropped_points += int(dropped)
+        else:
+            self.map_state, _ = self.update(
+                self.map_state, world, sub_ok,
+                jnp.asarray(frame.begin_pose.tr, jnp.float32),
+                jnp.asarray(frame.end_pose.tr, jnp.float32),
+                jnp.float32(o.max_distance))
         self.trajectory.append(frame)
         self.registered += 1
         return frame
