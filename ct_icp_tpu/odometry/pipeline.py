@@ -181,7 +181,7 @@ def kp_ladder_rungs(kp_capacity: int):
 
 def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
                      distort_constant_velocity: bool,
-                     host_prededuped: bool = False):
+                     host_prededuped: bool = False, ablate: str = ""):
     """Traceable body of one odometry frame (shared by the fused and the
     streaming step): subsample -> keypoint grid sampling -> CT registration
     -> world transform -> assessment -> insertion decision -> prune+insert.
@@ -210,6 +210,12 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
     insert in the SAME dispatch when it passes — the common case — instead
     of paying a second dispatch+readback round trip. Non-robust callers pass
     +inf/0 there (no behavior change).
+    ``ablate`` (MEASUREMENT ONLY — tools/ablate_megastep.py): comma-set of
+    stages to statically remove so their in-situ cost can be measured as a
+    dispatch-time delta against the production program. Never set on any
+    production path. Tokens: "no_solver" (registration passthrough),
+    "no_insert" (map returned untouched, prune skipped).
+
     In the streaming step entries 3/4/6 are overridden from device state.
     Entry 10 amortizes the map prune sweep over a host-chosen cadence (the
     reference prunes every frame; at 100 m thresholds a few frames of lag
@@ -237,6 +243,7 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
     min_dists = tuple(r.min_distance_between_points for r in map_options.resolutions)
     kp_capacity = statics.num_keypoints
     kp_rungs = kp_ladder_rungs(kp_capacity)
+    abl = frozenset(t for t in ablate.split(",") if t)
     registers = {sz: slv.build_register_fn(
         _dc.replace(statics, num_keypoints=sz)) for sz in kp_rungs}
 
@@ -335,7 +342,15 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
                                  kp_raw[:sz], kp_alphas[:sz], kp_valid[:sz],
                                  qb0, tb0, qe0, te0, prior, dyn_eff)
 
-        result = _ladder(kp_cnt, kp_rungs, run_register)
+        if "no_solver" in abl:   # measurement-only (see docstring)
+            result = slv.RegistrationResult(
+                quat_begin=qb0, tr_begin=tb0, quat_end=qe0, tr_end=te0,
+                num_residuals=kp_cnt, num_iters=jnp.int32(0),
+                converged=jnp.asarray(True),
+                final_cost=jnp.float32(0.0),
+                valid_problem=jnp.asarray(True))
+        else:
+            result = _ladder(kp_cnt, kp_rungs, run_register)
         qb, tb = result.quat_begin, result.tr_begin
         qe, te = result.quat_end, result.tr_end
 
@@ -391,7 +406,10 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
                 new_levels.append(lvl)
             return tuple(new_levels), inserted
 
-        new_levels, inserted = _ladder(sub_cnt, sub_rungs, do_insert)
+        if "no_insert" in abl:   # measurement-only (see docstring)
+            new_levels, inserted = tuple(map_state.levels), jnp.int32(0)
+        else:
+            new_levels, inserted = _ladder(sub_cnt, sub_rungs, do_insert)
 
         f32 = lambda v: jnp.asarray(v, jnp.float32).reshape(-1)
         packed = jnp.concatenate([
@@ -457,7 +475,7 @@ def _make_stream_body(map_options, statics, sub_capacity: int,
                       const_velocity: bool, continuous: bool,
                       always_insert: bool, do_no_insert: bool,
                       robust_gated: bool = False,
-                      host_prededuped: bool = False):
+                      host_prededuped: bool = False, ablate: str = ""):
     """Traceable per-frame streaming body shared by the single-frame step and
     the multi-frame megastep:
       (map_state, odo_state, scan_packed, n, betas, dyn, fs)
@@ -470,7 +488,8 @@ def _make_stream_body(map_options, statics, sub_capacity: int,
     from ct_icp_tpu.core import se3 as s3
 
     core = _make_frame_core(map_options, statics, sub_capacity, max_dirty,
-                            distort_constant_velocity, host_prededuped)
+                            distort_constant_velocity, host_prededuped,
+                            ablate=ablate)
 
     def stream_body(map_state, odo_state, scan_packed, n_points, prior_betas,
                     dyn_packed, frame_scalars):
@@ -580,13 +599,14 @@ def make_multi_step_fn(map_options, statics, sub_capacity: int,
                        always_insert: bool, do_no_insert: bool, batch: int,
                        robust_gated: bool = False,
                        with_checkpoint: bool = False,
-                       host_prededuped: bool = False):
+                       host_prededuped: bool = False, ablate: str = ""):
     """K frames of streaming odometry in ONE dispatch (lax.scan over the
     batch): one upload of K packed scans, one readback of K packed results —
     the per-frame dispatch tax and readback round-trip amortize K-fold
     (each measured ~1 ms against a remote device; K=8 reclaims ~2 ms/frame).
-    Keypoint/world outputs are not exposed (use batch=1 when a consumer —
-    CT-BA, callbacks — needs them).
+    Keypoint/world outputs are not exposed: the CT-BA backend reconstructs
+    the keypoint prefix on host (odometry._host_keypoints); use batch=1
+    only when a consumer needs the corrected_points device arrays.
 
     Signature: (map_state, odo_state, scans [K,R,4] u16, ns [K] i32,
     betas [4], dyns [K,D], fss [K,F]) -> (map_state, odo_state, packed [K,24]).
@@ -600,7 +620,15 @@ def make_multi_step_fn(map_options, statics, sub_capacity: int,
     body = _make_stream_body(map_options, statics, sub_capacity, max_dirty,
                              distort_constant_velocity, const_velocity,
                              continuous, always_insert, do_no_insert,
-                             robust_gated, host_prededuped)
+                             robust_gated, host_prededuped, ablate=ablate)
+    # "no_carry" (measurement only, tools/ablate_megastep.py; requires
+    # "no_insert"): the map rides as a scan-INVARIANT closure instead of
+    # through the lax.scan carry — isolates the cost of threading ~10^8 B
+    # of map state through the scan from the cost of the stages themselves
+    no_carry = "no_carry" in frozenset(ablate.split(","))
+    if no_carry:
+        assert "no_insert" in frozenset(ablate.split(",")), \
+            "no_carry requires no_insert (an un-carried map cannot mutate)"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def multi_step(map_state, odo_state, scans, ns, prior_betas, dyns, fss):
@@ -609,14 +637,25 @@ def make_multi_step_fn(map_options, statics, sub_capacity: int,
                                           (map_state, odo_state))
 
         def scan_body(carry, inputs):
+            if no_carry:
+                os_ = carry
+                scan_packed, n, dyn, fs = inputs
+                _ms, os_, packed, _kp, _world = body(
+                    map_state, os_, scan_packed, n, prior_betas, dyn, fs)
+                return os_, packed
             ms, os_ = carry
             scan_packed, n, dyn, fs = inputs
             ms, os_, packed, _kp, _world = body(
                 ms, os_, scan_packed, n, prior_betas, dyn, fs)
             return (ms, os_), packed
 
-        (ms, os_), packed_all = jax.lax.scan(
-            scan_body, (map_state, odo_state), (scans, ns, dyns, fss))
+        if no_carry:
+            os_, packed_all = jax.lax.scan(
+                scan_body, odo_state, (scans, ns, dyns, fss))
+            ms = map_state
+        else:
+            (ms, os_), packed_all = jax.lax.scan(
+                scan_body, (map_state, odo_state), (scans, ns, dyns, fss))
         if with_checkpoint:
             return ms, os_, packed_all, ckpt
         return ms, os_, packed_all

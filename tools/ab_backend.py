@@ -1,12 +1,14 @@
 """CT-BA backend A/B on the flagship long-drive workload (VERDICT round-3
 task 9): %Tr delta and fps cost of backend.enabled at bench shapes.
 
-The backend consumes per-frame keypoint arrays, which the batched
-megastep does not expose — backend-on runs batch=1 streaming. Variants:
+Round 5: the backend now composes with batched streaming (the host
+keypoint-prefix reconstruction, odometry._host_keypoints), so the
+headline variant is on/batch=16. Variants:
 
   off/batch=16       — the production bench configuration
-  off/batch=1        — the backend-compatible baseline (isolates batching)
-  on/batch=1         — backend enabled, DEFAULT options (refine-only)
+  on/batch=16        — backend enabled at production batching (round-5)
+  off/batch=1        — the old backend-compatible baseline
+  on/batch=1         — backend at the round-4 batch=1 constraint
   on+replay/batch=1  — backend with map replay (the traversal failure
                        mode: refine->replay->re-localize feedback)
 
@@ -108,8 +110,9 @@ def run(frames, seed, backend_on, batch, replay=False):
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
-    for backend_on, batch, replay in ((False, 16, False), (False, 1, False),
-                                      (True, 1, False), (True, 1, True)):
+    for backend_on, batch, replay in ((False, 16, False), (True, 16, False),
+                                      (False, 1, False), (True, 1, False),
+                                      (True, 1, True)):
         r = run(frames, seed, backend_on, batch, replay)
         print(json.dumps(r), flush=True)
 
