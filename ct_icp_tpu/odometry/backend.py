@@ -119,6 +119,22 @@ class CTBABackend:
         self._keypoints: List[tuple] = []   # (fid, raw, alphas, valid)
         self._count = 0
         self.refinements = 0
+        self.refine_ms: List[float] = []    # wall ms per refine() call
+        # deferred-apply pipeline (replay off): refine() DISPATCHES the
+        # assemble + CT-BA steps and stores the device result here; the
+        # readback + trajectory write happen at the NEXT refine (or flush),
+        # by which time the result is long computed. Reading back inside
+        # refine() stalled the streaming pipeline on the in-flight megastep
+        # plus 4 tunnel round trips — measured 340 ms/refine vs ~50 ms of
+        # actual device work (tools/exp_backend_cost.py, round 5); the
+        # trajectory is a post-hoc smoothing estimate, so applying a window
+        # one period late changes no downstream computation (refinement
+        # windows at period >= window are disjoint, and the front end never
+        # reads refined poses). With replay on, the map must reflect the
+        # refined poses immediately — that path stays synchronous.
+        self._pending = None                # (packed_dev, fids, origin)
+        self._pack = jax.jit(lambda s: jnp.concatenate(
+            [s.quat_begin, s.tr_begin, s.quat_end, s.tr_end], axis=1))
 
         odometry.register_callback(
             type(odometry).FINISHED_REGISTRATION, self._on_finished)
@@ -139,6 +155,37 @@ class CTBABackend:
 
     # ------------------------------------------------------------- refinement —
     def refine(self):
+        import time as _time
+        t0 = _time.time()
+        try:
+            self._refine()
+        finally:
+            self.refine_ms.append((_time.time() - t0) * 1e3)
+
+    def _apply_pending(self):
+        """Read back + apply a deferred refinement (single packed readback:
+        one tunnel round trip instead of four)."""
+        if self._pending is None:
+            return
+        packed_dev, fids, origin = self._pending
+        self._pending = None
+        rows = np.asarray(packed_dev, np.float64)   # [F, 14]
+        odo = self.odometry
+        for i, f in enumerate(fids):
+            fr = odo.trajectory[f]
+            fr.begin_pose.quat = s3n.quat_normalize(rows[i, 0:4])
+            fr.begin_pose.tr = rows[i, 4:7] + origin
+            fr.end_pose.quat = s3n.quat_normalize(rows[i, 7:11])
+            fr.end_pose.tr = rows[i, 11:14] + origin
+        self.refinements += 1
+
+    def flush(self):
+        """Apply any deferred refinement (call before consuming the
+        trajectory — Odometry.get_trajectory does)."""
+        self._apply_pending()
+
+    def _refine(self):
+        self._apply_pending()
         odo = self.odometry
         kps = [kp for kp in self._keypoints
                if kp[0] >= self.keep_first]  # don't touch the anchor frames
@@ -187,6 +234,12 @@ class CTBABackend:
         for _ in range(self.num_steps):
             state, cost = self.step(state, problem)
 
+        if not self.replay:
+            # deferred apply (see __init__): store the device result, read
+            # it back at the next refine/flush — no pipeline stall
+            self._pending = (self._pack(state), fids, origin)
+            return
+
         nqb = np.asarray(state.quat_begin, np.float64)
         ntb = np.asarray(state.tr_begin, np.float64)
         nqe = np.asarray(state.quat_end, np.float64)
@@ -198,7 +251,6 @@ class CTBABackend:
             fr.end_pose.quat = s3n.quat_normalize(nqe[i])
             fr.end_pose.tr = nte[i] + origin
         self.refinements += 1
-        if self.replay:
-            # the map must reflect the refined poses, or the next inserts
-            # (registered against stale world points) wash the refinement out
-            odo.replay_refined_frames([odo.trajectory[f] for f in fids])
+        # the map must reflect the refined poses, or the next inserts
+        # (registered against stale world points) wash the refinement out
+        odo.replay_refined_frames([odo.trajectory[f] for f in fids])

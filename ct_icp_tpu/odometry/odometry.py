@@ -1136,6 +1136,8 @@ class Odometry:
             yield self.register_frame_prepared(prep)
 
     def get_trajectory(self) -> List[TrajectoryFrame]:
+        if self.backend is not None:
+            self.backend.flush()   # apply any deferred refinement window
         return [f.copy() for f in self.trajectory]
 
     def get_map_points(self, level: int = 0) -> np.ndarray:
