@@ -246,7 +246,8 @@ def synthetic_sequence_from_yaml(path: str, seed=None):
             max_accel=float(tnode.get("max_accel", 2.5)),
             sway_deg=float(tnode.get("sway_deg", 0.0)),
             sway_period_s=float(tnode.get("sway_period_s", 1.2)),
-            bob_amp=float(tnode.get("bob_amp", 0.0)))
+            bob_amp=float(tnode.get("bob_amp", 0.0)),
+            max_yaw_rate_dps=float(tnode.get("max_yaw_rate_dps", 0.0)))
     else:
         raise ValueError(f"Unknown trajectory type {ttype}")
     acq_node = root.get("acquisition", {})

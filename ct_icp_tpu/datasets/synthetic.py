@@ -311,7 +311,8 @@ def circular_trajectory(radius=8.0, height=1.5, num_poses=200,
 def waypoint_drive_trajectory(waypoints, speed_profile=None, height=1.7,
                               pose_rate=20.0, corner_radius=4.0,
                               max_accel=2.5, sway_deg=0.0,
-                              sway_period_s=1.2, bob_amp=0.0):
+                              sway_period_s=1.2, bob_amp=0.0,
+                              max_yaw_rate_dps=0.0):
     """A driving trajectory along a 2-D waypoint polyline.
 
     The long-horizon analog of ``circular_trajectory`` for KITTI-style
@@ -328,12 +329,26 @@ def waypoint_drive_trajectory(waypoints, speed_profile=None, height=1.7,
     sinusoidal roll+pitch of that amplitude and a vertical bob, the
     low-inertia regime (NCLT segway / handheld) where the begin/end
     attitude changes within every scan.
+
+    ``max_yaw_rate_dps`` > 0: slow down at high-curvature sections so the
+    heading rate never exceeds this bound (v <= max_yaw_rate / curvature),
+    like a real carrier that cannot snap-turn. Without it, tight waypoint
+    corners at constant speed inject heading rates of 100-250 deg/s —
+    physically absurd for a walking/segway platform (NCLT peaks ~30 deg/s)
+    and the root cause of the round-4 indoor gate's chaotic doorway-turn
+    transients (0.87-2.50 %Tr seed spread from borderline-trackable snap
+    turns; tools/exp_indoor_transient.py measured 10-25 deg/FRAME at the
+    diamonds' vertices).
     """
     wp = np.asarray(waypoints, np.float64)
     if wp.shape[1] == 2:
         wp = np.concatenate([wp, np.zeros((wp.shape[0], 1))], axis=1)
-    # densify the polyline at 0.25 m steps
-    step = 0.25
+    # densify the polyline at 5 cm steps: the corner-rounding boxcar below
+    # can only bound curvature at the grid it runs on — a 0.25 m grid left
+    # near-kinks between samples (fine-grid curvature 4x the coarse
+    # estimate, measured 11.8 vs 2.7 rad/m at the indoor diamonds), which
+    # the pose resampler then traced through as 100-250 deg/s yaw snaps
+    step = 0.05
     pts = [wp[0]]
     for a, b in zip(wp[:-1], wp[1:]):
         seg = b - a
@@ -358,11 +373,25 @@ def waypoint_drive_trajectory(waypoints, speed_profile=None, height=1.7,
     if speed_profile is None:
         speed_profile = [(0.0, 10.0)]
     sp = np.asarray(speed_profile, np.float64)
+
+    # curvature-limited speed cap (see docstring): kappa from the smoothed
+    # path tangent, then v_cap(s) = max_yaw_rate / kappa
+    if max_yaw_rate_dps > 0.0:
+        d1 = np.gradient(path[:, :2], s, axis=0, edge_order=1)
+        yaw_path = np.unwrap(np.arctan2(d1[:, 1], d1[:, 0]))
+        kappa = np.abs(np.gradient(yaw_path, s, edge_order=1))  # rad/m
+        v_curv = np.deg2rad(max_yaw_rate_dps) / np.maximum(kappa, 1e-6)
+    else:
+        v_curv = None
+
     def v_of_s(ss):
         v = np.interp(ss, sp[:, 0], sp[:, 1])
         ramp = np.sqrt(np.maximum(2.0 * max_accel * np.maximum(ss, 0.01),
                                   0.09))
-        return np.clip(np.minimum(v, ramp), 0.3, None)
+        v = np.minimum(v, ramp)
+        if v_curv is not None:
+            v = np.minimum(v, np.interp(ss, s, v_curv))
+        return np.clip(v, 0.15 if v_curv is not None else 0.3, None)
 
     # integrate time along the arclength
     mid_v = v_of_s(0.5 * (s[:-1] + s[1:]))

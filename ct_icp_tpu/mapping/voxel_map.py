@@ -317,7 +317,7 @@ def _elect_ranks(slots, eligible, capacity, max_rounds: int):
 
 def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
                   begin_tr, max_dirty: int, with_normals: bool = True,
-                  max_rounds: int = 4):
+                  max_rounds: int = 4, ablate: str = ""):
     """Functional insert of a point batch into one map level.
 
     Replicates InsertPointInVoxelMap (reference map.h:261-293): new voxel ->
@@ -335,7 +335,15 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
     terrain need it: the reference has no such budget, and a cap of 4
     starves the bootstrap map to ~6 pts/m^2 on open scenes (below
     min_number_neighbors at radius 0.75), failing frame 1 outright.
+
+    ``ablate`` (MEASUREMENT ONLY — tools/ablate_megastep.py): comma-set of
+    insert sub-stages to statically remove so their in-situ cost can be
+    measured. Tokens: ins_no_elect (election ranks forced 0), ins_no_scatter
+    (points buffer untouched), ins_no_ladder (election at the full rung,
+    no lax.cond), ins_no_window (probe window left stale). Never set on a
+    production path — several tokens produce a semantically WRONG map.
     """
+    abl = frozenset(t for t in ablate.split(",") if t)
     c, p = level.capacity, level.max_points
     n = pts.shape[0]
     pt_coords = vx.voxel_coords(pts, resolution)
@@ -378,8 +386,12 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
         idx_e = e_idx[:sz]
         ok_e = jnp.arange(sz, dtype=jnp.int32) < e_cnt
         slot_e = jnp.where(ok_e, slot[idx_e], c)
-        rank_e, first_e = _elect_ranks(
-            jnp.clip(slot_e, 0, c - 1), ok_e, c, max_rounds)
+        if "ins_no_elect" in abl:   # measurement only
+            rank_e = jnp.where(ok_e, 0, -1)
+            first_e = ok_e
+        else:
+            rank_e, first_e = _elect_ranks(
+                jnp.clip(slot_e, 0, c - 1), ok_e, c, max_rounds)
         pos_e = ecount[jnp.where(ok_e, idx_e, 0)] + rank_e
         accept_e = ok_e & (rank_e >= 0) & (pos_e < p)
 
@@ -389,6 +401,14 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
         # (one (slot, pos) per accepted point).
         pid3 = 3 * jnp.arange(sz, dtype=jnp.int32)
         base = jnp.where(accept_e, slot_e * (p * 3) + pos_e, c * p * 3 + pid3)
+        if "ins_no_scatter" in abl:   # measurement only
+            add0 = jnp.zeros((c,), jnp.int32).at[
+                jnp.where(accept_e, slot_e, c)].add(1, mode="drop")
+            num0 = jnp.sum(accept_e.astype(jnp.int32))
+            dirty0 = accept_e & first_e
+            d_idx0, _dc0, d_ok0 = vx.compact_mask(dirty0, max_dirty)
+            return (level.points, add0, num0,
+                    jnp.where(d_ok0, slot_e[d_idx0], c))
         flat = level.points.reshape(-1)
         # one fused scatter for all three coordinate planes: each extra
         # scatter op on the [C, P*3] buffer pays a full-buffer copy whenever
@@ -415,7 +435,10 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
                                     lambda: insert_at(rungs[i]),
                                     ladder(i + 1))
 
-    new_points, add, num_inserted, dirty_slots = ladder(0)()
+    if "ins_no_ladder" in abl:   # measurement only
+        new_points, add, num_inserted, dirty_slots = insert_at(n_pts)
+    else:
+        new_points, add, num_inserted, dirty_slots = ladder(0)()
     new_count = level.count + add
 
     # ---- dirty-voxel normal recompute (reference map.h:209-235) ----
@@ -441,7 +464,8 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
         points=new_points,
         normals=new_normals,
         nflags=new_nflags,
-        win=build_window(table, new_count),
+        win=(level.win if "ins_no_window" in abl   # measurement only
+             else build_window(table, new_count)),
         num_points=level.num_points + num_inserted,
     ), num_inserted
 

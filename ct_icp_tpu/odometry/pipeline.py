@@ -401,13 +401,17 @@ def _make_frame_core(map_options, statics, sub_capacity: int, max_dirty: int,
                 lvl, cnt = vm.insert_points(
                     level, w, v, resolutions[i], min_dists[i], tb, max_dirty,
                     with_normals=statics.use_normal_filter,
-                    max_rounds=fs[15].astype(jnp.int32))
+                    max_rounds=fs[15].astype(jnp.int32),
+                    ablate=",".join(sorted(
+                        t for t in abl if t.startswith("ins_"))))
                 inserted = inserted + cnt
                 new_levels.append(lvl)
             return tuple(new_levels), inserted
 
         if "no_insert" in abl:   # measurement-only (see docstring)
             new_levels, inserted = tuple(map_state.levels), jnp.int32(0)
+        elif "insert_full_rung" in abl:   # measurement only: no outer cond
+            new_levels, inserted = do_insert(sub_rungs[-1])
         else:
             new_levels, inserted = _ladder(sub_cnt, sub_rungs, do_insert)
 

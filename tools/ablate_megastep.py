@@ -169,7 +169,12 @@ def main():
 
     results = {}
     variants = ["", "no_insert", "no_solver", "no_solver,no_insert",
-                "no_insert,no_carry", "no_solver,no_insert,no_carry"]
+                "no_insert,no_carry", "no_solver,no_insert,no_carry",
+                # insert sub-stage decomposition (round-5: insert measured
+                # 6.6 ms in situ vs 2.3 staged — find the gap)
+                "ins_no_scatter", "ins_no_elect", "ins_no_window",
+                "ins_no_ladder", "insert_full_rung",
+                "ins_no_scatter,ins_no_elect,ins_no_window"]
     for abl in variants:
         step = make_variant(odo, abl)
         t, rows = time_chain(step)      # first call compiles; timing below
@@ -213,6 +218,11 @@ def main():
                 results["no_solver,no_insert,no_carry"], 3),
             "outer_iter_cost": round(f - results["icp_iters=1"], 3),
             "inner_iter_cost": round(f - results["ls_iters=1"], 3),
+            "ins_scatter": round(f - results["ins_no_scatter"], 3),
+            "ins_elect": round(f - results["ins_no_elect"], 3),
+            "ins_window": round(f - results["ins_no_window"], 3),
+            "ins_ladder_cond": round(f - results["ins_no_ladder"], 3),
+            "outer_ladder_cond": round(f - results["insert_full_rung"], 3),
             "full": round(f, 3),
         }}, indent=None), flush=True)
 
