@@ -97,22 +97,28 @@ ROBUST_BASELINE_SEC_PER_FRAME = 0.26
 ROBUST_APE_BOUND_M = 0.058
 
 # Indoor / low-inertia gate (--indoor): a handheld walk through a
-# multi-room interior (tight spaces, in-room loops at ~4-5 deg/frame yaw,
-# 2.5-degree intra-scan sway, 0.8 m/s) driven through the third profile
-# default_robust_outdoor_low_inertia (odometry.cpp:92-151) and graded with
-# INDOOR segment lengths {10..80} m (SlamCore/eval.cxx:55-60) — NCLT's
-# actual regime. 3 scene-realization seeds. Pinned 2026-08-21: measured
-# 3-seed mean 1.59 %Tr pre- and 1.00 %Tr post- the round-4 solver
-# changes (seeds swung 0.87-2.50 between numerics — doorway-turn
-# transients of ~1 m that recover dominate the short INDOOR segments and
-# are chaotic across realizations; mean APE is the stabler signal at
-# 0.054-0.064). Bound 2.6 = the worse measured mean + ~60 % headroom.
-# For scale: the reference's NCLT regression baseline is 1.36 %Tr over
-# 2000 real frames (regression_config_short_nclt.yaml). The %Tr bound
-# catches gross regressions (a broken turn path measures 39 %Tr); the
-# APE bound is the precision pin.
-INDOOR_TR_BOUND_PCT = 2.6
-INDOOR_APE_BOUND_M = 0.12
+# multi-room interior (tight spaces, doorway turns capped at 50 deg/s =
+# 5 deg/frame — a real carrier slows to turn, synthetic.py
+# max_yaw_rate_dps; 2.5-degree intra-scan sway, 0.8 m/s cruise) driven
+# through the third profile default_robust_outdoor_low_inertia
+# (odometry.cpp:92-151) and graded with INDOOR segment lengths {10..80} m
+# (SlamCore/eval.cxx:55-60) — NCLT's actual regime. 3 scene-realization
+# seeds. Round-5 root cause of the old chaotic 0.87-2.50 per-seed spread:
+# the waypoint generator injected 100-250 deg/s heading snaps at the
+# diamond vertices (tools/exp_indoor_transient.py) — physically absurd
+# for the walking regime the gate documents; with the yaw-rate cap the
+# regime matches the intent and the seeds tightened. Pinned 2026-08-21
+# (round 5): 3-seed mean 0.59 %Tr (seeds 0.52/0.53/0.73), APE
+# 0.046-0.050. Bound 1.3 keeps ~75 % headroom and sits UNDER the
+# reference's real-NCLT 1.36 %Tr (regression_config_short_nclt.yaml).
+# Throughput: the timed seed is pre-rendered and graded on the median
+# megastep burst like the driving gate; floor vs the reference's NCLT
+# regimen (0.26 s/frame). Pinned round-5 quiet-chip: 30-33 fps = 7.8-8.6x
+# -> floor 5.0x catches any 40% regression without flaking on escalation
+# variance (turn frames legitimately run per-frame after rollbacks).
+INDOOR_TR_BOUND_PCT = 1.3
+INDOOR_APE_BOUND_M = 0.10
+INDOOR_FLOOR_X = 5.0
 INDOOR_SEEDS = (7, 8, 9)
 INDOOR_CONFIG = "configs/synthetic_indoor_walk.yaml"
 
@@ -129,15 +135,22 @@ def run_indoor(num_frames=None):
     # batch 4: turn-heavy stretches drain per-frame after a rollback, so a
     # large speculative batch mostly wastes re-dispatched work here
     BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+    warmup = 4 * BATCH
 
-    def run(seed):
+    def run(seed, timing=False):
         seq = synthetic_sequence_from_yaml(INDOOR_CONFIG, seed=seed)
         acq = seq.acq
         n = min(num_frames, acq.num_frames())
+        if timing:
+            n = max(BATCH, (n // BATCH) * BATCH)   # whole megasteps
         odo = Odometry(default_robust_outdoor_low_inertia())
+        # timed seed: pre-render so the floor measures the framework, not
+        # the synthetic renderer (the round-4 gate's 0.92 wall s/frame was
+        # render-starved — the same lesson as the long gate)
+        cache = [acq.frame(i) for i in range(n)] if timing else None
 
         def _prepare(i):
-            fr = acq.frame(i)
+            fr = cache[i] if cache is not None else acq.frame(i)
             prep = odo.prepare_frame(fr["xyz"], fr["timestamps"],
                                      registered_fid=i, frame_id=i,
                                      upload=False,
@@ -159,28 +172,43 @@ def run_indoor(num_frames=None):
 
         failures = 0
         attempts = 0
-        for s in odo.stream_frames(prep_iter(), batch=BATCH):
+        t_start = None
+        timed = 0
+        burst_ends = []
+        for i, s in enumerate(odo.stream_frames(prep_iter(), batch=BATCH)):
+            if timing and i == warmup - 1:
+                t_start = time.time()
+                burst_ends.append(t_start)
+            elif timing and i >= warmup:
+                timed += 1
+                if (i + 1) % BATCH == 0:
+                    burst_ends.append(time.time())
             attempts += s.number_of_attempts
             if not s.success:
                 failures += 1
+        bursts = np.diff(burst_ends)
+        spf = (float(np.median(bursts)) / BATCH
+               if (timing and len(bursts)) else float("nan"))
         first_gt = begin0[0]
         gt = [first_gt.inverse() * p for p in gt_ends[:len(odo.trajectory)]]
         est = [f.end_pose for f in odo.get_trajectory()]
         err = evaluate_poses(gt, est, driving=False)   # INDOOR segments
-        return err, failures, attempts, len(est)
+        return err, failures, attempts, len(est), spf
 
-    t0 = time.time()
-    err0, failures, attempts, frames0 = run(INDOOR_SEEDS[0])
-    wall0 = time.time() - t0
+    err0, failures, attempts, frames0, spf = run(INDOOR_SEEDS[0],
+                                                 timing=True)
     tr_per_seed = [err0.mean_rpe]
     ape_per_seed = [err0.mean_ape]
     total_failures = failures
     for seed in INDOOR_SEEDS[1:]:
-        e, f, _, _ = run(seed)
+        e, f, _, _, _ = run(seed)
         tr_per_seed.append(e.mean_rpe)
         ape_per_seed.append(e.mean_ape)
         total_failures += f
     mean_tr = float(np.mean(tr_per_seed))
+    fps = 1.0 / spf if spf and np.isfinite(spf) else 0.0
+    vs = fps * ROBUST_BASELINE_SEC_PER_FRAME   # vs the NCLT 0.26 s/frame
+    smoke = not np.isfinite(spf)
 
     return {
         "metric": "synthetic_indoor_low_inertia_segment_rpe",
@@ -194,13 +222,17 @@ def run_indoor(num_frames=None):
         "mean_ape_m": round(float(np.mean(ape_per_seed)), 4),
         "ape_per_seed": [round(a, 4) for a in ape_per_seed],
         "segments": len(err0.tab_errors),
-        "wall_sec_per_frame": round(wall0 / max(frames0, 1), 4),
+        "sec_per_frame": round(spf, 4) if not smoke else None,
+        "frames_per_sec": round(fps, 2) if not smoke else None,
+        "throughput_x": round(vs, 2) if not smoke else None,
         "tr_bound_pct": INDOOR_TR_BOUND_PCT,
         "ape_bound_m": INDOOR_APE_BOUND_M,
         "accuracy_ok": bool(mean_tr <= INDOOR_TR_BOUND_PCT
                             and float(np.mean(ape_per_seed))
                             <= INDOOR_APE_BOUND_M
                             and total_failures == 0),
+        "throughput_ok": bool(smoke or vs >= INDOOR_FLOOR_X),
+        "floor_x": INDOOR_FLOOR_X,
     }
 
 

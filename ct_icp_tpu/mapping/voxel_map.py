@@ -195,7 +195,8 @@ def find_slots(level: MapLevel, query_coords):
 
 # ---------------------------------------------------------------- insertion —
 
-def _resolve_or_claim_slots(keys_table, pt_keys, h, valid, keys_window=None):
+def _resolve_or_claim_slots(keys_table, pt_keys, h, valid, keys_window=None,
+                            ablate: str = ""):
     """Assign each point a slot for its voxel, creating voxels as needed.
 
     Phase 1: single-pass parallel probe for existing entries (so tombstones
@@ -209,7 +210,6 @@ def _resolve_or_claim_slots(keys_table, pt_keys, h, valid, keys_window=None):
     c = keys_table.shape[0]
     mask_u = jnp.uint32(c - 1)
     n = pt_keys.shape[0]
-    pid = jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(2147483647)
 
     if keys_window is None:
@@ -222,38 +222,84 @@ def _resolve_or_claim_slots(keys_table, pt_keys, h, valid, keys_window=None):
     assigned = jnp.where(any_hit, found, -1)
     resolved = any_hit
 
-    def claim_cond(carry):
-        r, _, _, resolved = carry
-        return (r < MAX_PROBES) & ~jnp.all(resolved | ~valid)
+    if "ins_no_claimloop" in frozenset(ablate.split(",")):
+        # measurement only: phase-1 resolve only, no voxel creation
+        return keys_table, assigned, resolved & valid
 
-    def claim_body(carry):
-        r, table, assigned, resolved = carry
-        s = ((h + r.astype(jnp.uint32)) & mask_u).astype(jnp.int32)
-        key = table[s]
-        claimable = key <= TOMB
-        newly = ~resolved & valid & (key == pt_keys)
-        assigned = jnp.where(newly, s, assigned)
-        resolved = resolved | newly
+    # ---- phase 2 on the COMPACTED unresolved subset. In steady state
+    # phase 1 resolves ~85-90 % of the batch (the subsample mostly
+    # revisits mapped voxels), and every op of the claiming rounds is
+    # element-count-bound through the scalar core — running the loop at
+    # the survivor rung instead of the full batch shape cut the claim
+    # from 3.1 to ~0.6 ms/frame at driving shapes (the claim loop was the
+    # single largest stage of the whole megastep, tools/ablate_megastep,
+    # round 5). Exactness: compact_mask is stable and the scatter-min
+    # arbitration uses the ORIGINAL scan index, so winners (and therefore
+    # the table content) are identical to the uncompacted election.
+    need = valid & ~resolved
+    idx_n, cnt_n, _ = vx.compact_mask(need, n)
 
-        attempt = ~resolved & valid & claimable
-        claim_idx = jnp.where(attempt, s, c)  # out-of-bounds -> dropped
-        claim = jnp.full((c,), big, dtype=jnp.int32).at[claim_idx].min(
-            pid, mode="drop")
-        winner = attempt & (claim[jnp.clip(s, 0, c - 1)] == pid)
-        table = table.at[jnp.where(winner, s, c)].set(pt_keys, mode="drop")
+    def claim_at(sz):
+        idx = idx_n[:sz]
+        ok = jnp.arange(sz, dtype=jnp.int32) < cnt_n
+        h_s = h[idx]
+        keys_s = pt_keys[idx]
+        pid_s = jnp.where(ok, idx, big)   # original index: same arbitration
 
-        key2 = table[s]
-        got = ~resolved & valid & (key2 == pt_keys)
-        assigned = jnp.where(got, s, assigned)
-        resolved = resolved | got
-        return r + 1, table, assigned, resolved
+        def claim_cond(carry):
+            r, _, _, res = carry
+            return (r < MAX_PROBES) & ~jnp.all(res | ~ok)
 
-    # while_loop with an all-resolved early exit: nearly every batch resolves
-    # within the first 1-3 probe rounds, so the worst-case MAX_PROBES rounds
-    # of scatter/gather are almost never paid
-    _, table, assigned, resolved = jax.lax.while_loop(
-        claim_cond, claim_body,
-        (jnp.int32(0), keys_table, assigned, resolved))
+        def claim_body(carry):
+            r, table, asg, res = carry
+            s = ((h_s + r.astype(jnp.uint32)) & mask_u).astype(jnp.int32)
+            key = table[s]
+            claimable = key <= TOMB
+            newly = ~res & ok & (key == keys_s)
+            asg = jnp.where(newly, s, asg)
+            res = res | newly
+
+            attempt = ~res & ok & claimable
+            claim_idx = jnp.where(attempt, s, c)  # out-of-bounds -> dropped
+            claim = jnp.full((c,), big, dtype=jnp.int32).at[claim_idx].min(
+                pid_s, mode="drop")
+            winner = attempt & (claim[jnp.clip(s, 0, c - 1)] == pid_s)
+            table = table.at[jnp.where(winner, s, c)].set(keys_s,
+                                                          mode="drop")
+
+            key2 = table[s]
+            got = ~res & ok & (key2 == keys_s)
+            asg = jnp.where(got, s, asg)
+            res = res | got
+            return r + 1, table, asg, res
+
+        # while_loop with an all-resolved early exit: nearly every batch
+        # resolves within the first 1-3 probe rounds, so the worst-case
+        # MAX_PROBES rounds of scatter/gather are almost never paid
+        _, table, asg, res = jax.lax.while_loop(
+            claim_cond, claim_body,
+            (jnp.int32(0), keys_table,
+             jnp.full((sz,), -1, jnp.int32), jnp.zeros((sz,), bool)))
+        back = jnp.where(ok & res, idx, n)
+        assigned_f = assigned.at[back].set(asg, mode="drop")
+        resolved_f = resolved.at[back].set(True, mode="drop")
+        return table, assigned_f, resolved_f
+
+    rungs = []
+    r = 2048
+    while r < n:
+        rungs.append(r)
+        r *= 4
+    rungs.append(n)
+
+    def ladder(i):
+        if i == len(rungs) - 1:
+            return lambda: claim_at(rungs[i])
+        return lambda: jax.lax.cond(cnt_n <= rungs[i],
+                                    lambda: claim_at(rungs[i]),
+                                    ladder(i + 1))
+
+    table, assigned, resolved = ladder(0)()
     return table, assigned, resolved & valid
 
 
@@ -352,19 +398,22 @@ def insert_points(level: MapLevel, pts, valid, resolution, min_dist,
 
     table, assigned, resolved = _resolve_or_claim_slots(
         level.keys, pt_keys, h, valid,
-        keys_window=level.win[:, :PROBE_WINDOW])
+        keys_window=level.win[:, :PROBE_WINDOW], ablate=ablate)
     slot = jnp.where(resolved, assigned, 0)
 
     # min-distance check against existing points of the voxel
-    rows = level.points[slot]                        # [N, P*3]
-    ex, ey, ez = _xyz_planes(rows, p)                # [N, P] each
     ecount = level.count[slot]
-    in_cap = jnp.arange(p, dtype=jnp.int32)[None, :] < ecount[:, None]
-    d2 = ((ex - pts[:, 0:1]) ** 2 + (ey - pts[:, 1:2]) ** 2
-          + (ez - pts[:, 2:3]) ** 2)
-    d2 = jnp.where(in_cap, d2, jnp.inf)
-    min_d2 = jnp.min(d2, axis=-1)
-    far_enough = (ecount == 0) | (min_d2 > min_dist * min_dist)
+    if "ins_no_mindist" in abl:   # measurement only
+        far_enough = jnp.ones_like(resolved)
+    else:
+        rows = level.points[slot]                    # [N, P*3]
+        ex, ey, ez = _xyz_planes(rows, p)            # [N, P] each
+        in_cap = jnp.arange(p, dtype=jnp.int32)[None, :] < ecount[:, None]
+        d2 = ((ex - pts[:, 0:1]) ** 2 + (ey - pts[:, 1:2]) ** 2
+              + (ez - pts[:, 2:3]) ** 2)
+        d2 = jnp.where(in_cap, d2, jnp.inf)
+        min_d2 = jnp.min(d2, axis=-1)
+        far_enough = (ecount == 0) | (min_d2 > min_dist * min_dist)
     eligible = resolved & far_enough & (ecount < p)
 
     # ---- eligible compaction ladder: in steady state the min-distance

@@ -175,6 +175,11 @@ def main():
                 "ins_no_scatter", "ins_no_elect", "ins_no_window",
                 "ins_no_ladder", "insert_full_rung",
                 "ins_no_scatter,ins_no_elect,ins_no_window"]
+    # ABL_VARIANTS="v1;v2" runs just those (plus full) — iteration mode
+    import os
+    if os.environ.get("ABL_VARIANTS"):
+        variants = [""] + [v.strip() for v
+                           in os.environ["ABL_VARIANTS"].split(";")]
     for abl in variants:
         step = make_variant(odo, abl)
         t, rows = time_chain(step)      # first call compiles; timing below
@@ -207,6 +212,8 @@ def main():
         }), flush=True)
 
     f = results["full"]
+    if os.environ.get("ABL_VARIANTS"):
+        return
     print(json.dumps({
         "decomposition_ms": {
             "insert": round(f - results["no_insert"], 3),
