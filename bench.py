@@ -81,15 +81,16 @@ ROBUST_FLOOR_X = 11.0
 # cross-gate A/B (docs/PARITY.md). Throughput floor: the timed seed must
 # sustain the pinned frames/s (median megastep burst, warmup excluded,
 # frames pre-rendered). Floor 40: measured sustained rate varies 48-78
-# fps across quiet runs (tunnel/session variance the per-gate median
-# cannot fully reject over a 15-minute artifact run); 40 still catches
-# the render-starvation class of bug (4 fps) and any 2x device
-# regression while not flaking on the spread. The driving/robust floors
-# (8x/9.5x, low-variance 80-frame windows) carry the precise throughput
-# story.
+# fps across round-4 quiet runs; after the round-5 compacted-claim fix
+# the sustained rate measured 58.6 fps, and the median-burst statistic
+# already rejects isolated tunnel stalls, so the floor ratchets 40 -> 45
+# (round-4 verdict weak #5: defend the gains; 45 catches a ~25 %
+# sustained regression while keeping headroom for the residual
+# session-to-session spread). The driving/robust floors (10x/11x,
+# low-variance 80-frame windows) carry the precise throughput story.
 LONG_TR_BOUND_PCT = 0.50
 LONG_SEEDS = (7, 8, 9)
-LONG_FLOOR_FPS = 40.0
+LONG_FLOOR_FPS = 45.0
 LONG_CONFIG = "configs/synthetic_long_drive.yaml"
 
 # Robust-path gate (--robust): the same corridor scene driven through the
@@ -845,9 +846,15 @@ def run_long(num_frames=None):
 # UNDER the backend-off level (~0.46) — the gate fails if refinement stops
 # helping — and under the 0.5 north star. Floor: same machinery as the
 # long gate (median burst, pre-rendered frames); backend-on costs ~0 fps,
-# so the long gate's 40-fps class floor applies unchanged.
+# so the long gate's floor class applies. Measured 2026-08-22: 0.341 %Tr
+# at 45.7 fps (40 refinements over 320 frames; backend-off long gate ran
+# 58.6 fps the same hour — the ~4.8 ms/frame delta is the refine's
+# device work riding the queue). Floor 35: the accuracy bound is this
+# gate's primary pin; the precise throughput story lives in the
+# driving/robust/long gates, and a one-run A/B against the long gate is
+# the right tool for backend-cost regressions.
 BACKEND_TR_BOUND_PCT = 0.42
-BACKEND_FLOOR_FPS = 40.0
+BACKEND_FLOOR_FPS = 35.0
 BACKEND_FRAMES = 320
 BACKEND_SEED = 7
 
