@@ -381,9 +381,11 @@ def emit(result) -> bool:
         print(f"{result['metric']}: ACCURACY GATE FAILED", file=sys.stderr)
         ok = False
     if not result.get("throughput_ok", True):
+        fps = result.get("frames_per_sec") or result.get("value")
+        floor = (result.get("floor_fps") or result.get("floor_x")
+                 or result.get("tr_bound_pct"))
         print(f"{result['metric']}: THROUGHPUT FLOOR FAILED "
-              f"({result['value']} {result['unit']} < floor)",
-              file=sys.stderr)
+              f"({fps} < floor {floor})", file=sys.stderr)
         ok = False
     return ok
 

@@ -275,11 +275,13 @@ def _resolve_or_claim_slots(keys_table, pt_keys, h, valid, keys_window=None,
 
         # while_loop with an all-resolved early exit: nearly every batch
         # resolves within the first 1-3 probe rounds, so the worst-case
-        # MAX_PROBES rounds of scatter/gather are almost never paid
+        # MAX_PROBES rounds of scatter/gather are almost never paid.
+        # Initial carries derive from ``idx`` (not fresh constants) so
+        # their varying-manual-axes status matches the body outputs under
+        # shard_map (the sharded-map insert runs this same code).
         _, table, asg, res = jax.lax.while_loop(
             claim_cond, claim_body,
-            (jnp.int32(0), keys_table,
-             jnp.full((sz,), -1, jnp.int32), jnp.zeros((sz,), bool)))
+            (jnp.int32(0), keys_table, idx * 0 - 1, idx < -1))
         back = jnp.where(ok & res, idx, n)
         assigned_f = assigned.at[back].set(asg, mode="drop")
         resolved_f = resolved.at[back].set(True, mode="drop")

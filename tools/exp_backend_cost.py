@@ -2,6 +2,14 @@
 (round-5: backend-on measured 31 fps vs 67 off — where do the ~138 ms per
 refinement go: uploads, assemble, CT-BA steps, readbacks?).
 
+ARCHIVE: this tool's finding (340 ms/refine median = pipeline stall on
+the in-flight megastep + 4 tunnel RTTs vs ~50 ms device work) motivated
+the deferred-apply design now in production (backend._refine stores the
+device result; apply happens one period later from ONE packed readback —
+backend-on now measures == backend-off fps). The instrumented copy below
+replicates the OLD synchronous body and is kept only to re-measure the
+synchronous baseline; it does NOT mirror current production.
+
   PYTHONPATH=/root/repo python -u tools/exp_backend_cost.py [frames]
 
 Env: BK_PERIOD, BK_WINDOW, BK_STEPS override BackendOptions.
