@@ -118,14 +118,14 @@ ROBUST_APE_BOUND_M = 0.058
 # the reference's real-NCLT 1.36 %Tr (regression_config_short_nclt.yaml).
 # Throughput: the timed seed is pre-rendered and graded on the median
 # megastep burst like the driving gate; floor vs the reference's NCLT
-# regimen (0.26 s/frame). Measured 2026-08-22: 8.0 fps = 2.08x at
-# batch 4 (batch 8 measured WORSE, 6.2 fps: the profile's 2-degree
-# rotation threshold keeps next_robust_level at 1 through every turn, so
-# ~40 % of frames legitimately drain per-frame outside the megastep —
-# the known cost of exact per-frame escalation semantics). Floor 1.5x
-# catches any ~30 % sustained regression and the render-starvation
-# class; the faster-than-reference claim here is 2x, not the driving
-# gate's 11x.
+# regimen (0.26 s/frame). Measured 2026-08-22: 9.9 fps = 2.59x at
+# batch 4 with LEVEL-1 SPECULATION (the streamer batches turn frames at
+# their persistent escalated level instead of draining them per-frame —
+# odometry._stream_frames_robust; was 8.0 fps = 2.08x before). The
+# remaining cost is genuine level-1 device compute: every turn frame
+# legitimately runs the escalated 50-iteration solve. Floor 1.5x keeps
+# headroom over level-transition rollback variance; the
+# faster-than-reference claim here is 2.6x, not the driving gate's 11x.
 INDOOR_TR_BOUND_PCT = 1.3
 INDOOR_APE_BOUND_M = 0.10
 INDOOR_FLOOR_X = 1.5

@@ -130,6 +130,29 @@ _jit_insert = _jax.jit(
     static_argnames=("max_dirty", "with_normals", "max_rounds"))
 
 
+def _escalate_once(opts: CTICPOptions, base_sample_voxel: float,
+                   min_voxel: float):
+    """One IncreaseRobustnessLevel rung (reference odometry.cpp:996-1018):
+    returns (escalated options, escalated sample voxel). The sample voxel
+    is non-compounding — every level >= 1 samples at base/1.5 (parity with
+    the per-attempt escalation closures below, which re-derive it from the
+    profile's base each call)."""
+    return dataclasses.replace(
+        opts,
+        ls_max_num_iters=opts.ls_max_num_iters + 30,
+        max_num_residuals=(opts.max_num_residuals * 2
+                           if opts.max_num_residuals > 0
+                           else opts.max_num_residuals),
+        num_iters_icp=min(opts.num_iters_icp + 20, 50),
+        threshold_orientation_norm=max(
+            opts.threshold_orientation_norm / 10, 1e-5),
+        threshold_translation_norm=max(
+            opts.threshold_orientation_norm / 10, 1e-4),
+        ls_sigma=opts.ls_sigma * 1.2,
+        max_dist_to_plane_ct_icp=opts.max_dist_to_plane_ct_icp * 1.5,
+    ), max(base_sample_voxel / 1.5, min_voxel)
+
+
 def _sanitize_scan(xyz, timestamps):
     """Contiguous float64 copies with non-finite points dropped (real
     sensors emit NaN returns; quantizing them would plant garbage
@@ -199,6 +222,9 @@ class Odometry:
         self.suspect_registration_error = False
         self.next_robust_level = options.robust_minimal_level
         self.insertion_tracker = _InsertionTracker(options)
+        # observability: steady speculative batches committed by the robust
+        # streamer, by dispatched level (see _stream_frames_robust)
+        self.speculative_batches_committed: Dict[int, int] = {}
         # retention of the last-N inserted frame clouds (reference
         # max_frames_to_keep, map.h:124,246-253) — export/replay surface
         self.frame_ring = FrameRing(self.map_options.max_frames_to_keep)
@@ -868,17 +894,26 @@ class Odometry:
         return jnp.asarray(s.astype(np.float32))
 
     def _robust_frame_scalars(self, info: FrameInfo,
-                              prep: Optional[dict] = None) -> np.ndarray:
-        """Frame scalars for a speculative robust-level-0 streamed frame.
+                              prep: Optional[dict] = None,
+                              level: int = 0,
+                              sample_voxel: Optional[float] = None
+                              ) -> np.ndarray:
+        """Frame scalars for a speculative robust streamed frame at
+        ``level`` (0 or an escalated level; ``sample_voxel`` overrides
+        fs[1] for escalated levels — the rung shrinks it).
 
         Thresholds carry the same tie-breaking margin as the per-frame
         attempts: a device/host threshold tie must resolve to a rollback
         (where the host f64 assessment arbitrates), never to a speculative
-        commit the host would have rejected."""
+        commit the host would have rejected. The rotation check (fs[14])
+        only applies at robust level 0 (reference AssessRegistration
+        odometry.cpp:621-631)."""
         o = self.options
         gm = 1.0 - 1e-4
         startup = info.registered_fid < o.init_num_frames
-        fs1 = o.init_sample_voxel_size if startup else o.sample_voxel_size
+        fs1 = (sample_voxel if sample_voxel is not None
+               else (o.init_sample_voxel_size if startup
+                     else o.sample_voxel_size))
         return np.asarray([
             o.init_voxel_size if startup else o.voxel_size,
             fs1,
@@ -891,7 +926,8 @@ class Odometry:
             o.robust_threshold_relative_orientation * gm,
             o.robust_threshold_ego_orientation * gm,
             o.robust_relative_trans_threshold * gm,
-            1.0 if o.robust_num_attempts_when_rotation > 0 else 0.0,
+            1.0 if (level == 0
+                    and o.robust_num_attempts_when_rotation > 0) else 0.0,
             # young-map insert budget (fs[15], see OdometryOptions)
             float(o.bootstrap_insert_rounds)
             if info.registered_fid < o.bootstrap_frames else 4.0,
@@ -904,18 +940,27 @@ class Odometry:
         The robust regimen is host-driven control flow (escalate on failed
         assessment, reference odometry.cpp:780-852), which in a per-frame
         loop costs one device round trip per frame. But steady state is
-        accept-on-first-attempt at robust level 0, and the attempt's
-        assessment already runs ON DEVICE — so this path runs ``batch``
-        frames per dispatch exactly as the non-robust megastep does, with
+        accept-on-first-attempt at a PERSISTENT robust level — 0 on open
+        stretches, and minimal+1 through sustained rotation (the
+        low-inertia profile's 2-degree thresholds keep next_robust_level
+        at 1 for every turn frame, reference odometry.cpp:890-901) — and
+        the attempt's assessment already runs ON DEVICE. So this path runs
+        ``batch`` frames per dispatch AT the current next_robust_level
+        (dyns/frame-scalars pre-built for both speculation levels), with
         robust-gated insertion (pipeline frame scalar 4 = 2.0), and treats
-        ``assess_ok & rot_within`` per frame as the license to have
-        speculated. On any frame that fails, the map+state roll back to the
-        batch-start checkpoint (a device-side copy taken before the
+        "this frame implies staying at the dispatched level" — assess_ok,
+        valid, and rot_within matching the level's steady state — as the
+        license to have speculated. On any frame that breaks it (failed
+        assessment OR a level transition), the map+state roll back to the
+        batch-start checkpoint (a device-side copy taken inside the
         dispatch) and the whole batch replays through the per-frame
         escalation path; streaming resumes once next_robust_level returns
-        to the minimal level. Accuracy-affecting semantics are identical to
-        register_frame: speculation only commits frames the per-frame path
-        would have accepted on attempt 0.
+        to a speculation level. Accuracy-affecting semantics are identical
+        to register_frame: speculation only commits frames the per-frame
+        path would have accepted on its (pre-escalated) first attempt.
+        Level-1 speculation is what makes the indoor/low-inertia regime
+        stream at megastep rate — before it, ~40 % of indoor frames
+        drained per-frame through every turn (round-5, 8.0 fps measured).
         """
         o = self.options
         minimal = o.robust_minimal_level
@@ -953,47 +998,67 @@ class Odometry:
                     g = []
             tail.extend(g)
 
+        # speculation levels: the minimal level and one rung above it
+        # (next_robust_level only ever sits at minimal or minimal+1 after
+        # a PASSING frame — higher values require failures, which drain
+        # per-frame). dyns/frame-scalars are pre-built for both in the
+        # prefetch worker; dispatch picks by the CURRENT next_robust_level.
+        spec_levels = (minimal, minimal + 1)
+        min_voxel = min(o.init_voxel_size, o.voxel_size)
+
+        def level_inputs(group, level):
+            dyns, fss = [], []
+            for prep in group:
+                info = prep["info"]
+                opts = self._effective_icp_options(info)
+                sv = None
+                for _ in range(level):
+                    opts, sv = _escalate_once(opts, o.sample_voxel_size,
+                                              min_voxel)
+                dyns.append(self.registration.dynamics(opts))
+                fss.append(self._robust_frame_scalars(
+                    info, prep, level=level, sample_voxel=sv))
+            return (jnp.asarray(np.stack(dyns)),
+                    jnp.asarray(np.stack(fss)))
+
         def stack_upload(group):
             """Stack + start the device transfer in the prefetch worker
             (pure: no odometry state is mutated until the batch commits)."""
             rung = max(p["scan_host"].shape[0] for p in group)
             scans = np.zeros((batch, rung, 4), np.uint16)
-            dyns, fss, ns = [], [], []
+            ns = []
             for b, prep in enumerate(group):
-                info = prep["info"]
                 self._stash_scan(prep)
-                dyns.append(self.registration.dynamics(
-                    self._effective_icp_options(info)))
-                fss.append(self._robust_frame_scalars(info, prep))
                 ns.append(prep["n"])
                 sh = prep["scan_host"]
                 scans[b, :sh.shape[0]] = sh
+            per_level = {lv: level_inputs(group, lv) for lv in spec_levels}
             return (group, jnp.asarray(scans),
-                    jnp.asarray(np.asarray(ns, np.int32)),
-                    jnp.asarray(np.stack(dyns)), jnp.asarray(np.stack(fss)))
+                    jnp.asarray(np.asarray(ns, np.int32)), per_level)
 
         from ct_icp_tpu.odometry.concurrent import PrefetchIterator
-        # speculation requires the EFFECTIVE robust level to be 0: the
-        # speculative dyns/frame-scalars are the un-escalated level-0
-        # options, and register_frame pre-escalates every attempt by
-        # next_robust_level (reference odometry.cpp:770-772). A profile
-        # with robust_minimal_level > 0 therefore always drains per-frame.
         speculative = True
         self._odo_state = self._odo_state_from_host()
 
         import copy as _copy
 
         def dispatch(upload):
-            """Dispatch one batch; device state handles advance to the fork
-            head immediately (results unread)."""
-            group, scans_dev, ns_dev, dyns_dev, fss_dev = upload
+            """Dispatch one batch AT the current next_robust_level; device
+            state handles advance to the fork head immediately (results
+            unread). The level is consistent under 2-deep speculation:
+            steady commits never change next_robust_level, and any batch
+            that does change it rolls back the in-flight fork, which is
+            then re-dispatched at the new level."""
+            group, scans_dev, ns_dev, per_level = upload
+            level = self.next_robust_level
+            dyns_dev, fss_dev = per_level[level]
             # device-side rollback checkpoint is taken INSIDE the megastep
             # program (with_checkpoint) — a separate copy dispatch pays
             # per-buffer tunnel round trips
             self.map_state, self._odo_state, packed_all, ckpt = multi_step(
                 self.map_state, self._odo_state, scans_dev, ns_dev,
                 betas_dev, dyns_dev, fss_dev)
-            return {"upload": upload, "group": group,
+            return {"upload": upload, "group": group, "level": level,
                     "packed": packed_all, "ckpt": ckpt}
 
         def resolve(p):
@@ -1023,7 +1088,16 @@ class Odometry:
                     self.suspect_registration_error)
             rows = np.asarray(p["packed"], dtype=np.float64)   # sync point
             first_frame = group[0]["info"].registered_fid == 0
-            steady = (rows[:, 22] > 0) & (rows[:, 23] > 0) & (rows[:, 17] > 0)
+            lvl = p["level"]
+            # steady = "this frame implies staying at the dispatched
+            # level": the per-frame path sets next_robust_level to minimal
+            # when the rotation stayed within the robust thresholds and
+            # minimal+1 otherwise (reference odometry.cpp:890-901) — a
+            # frame whose implied next level differs from ``lvl`` means
+            # the frames after it ran at the wrong level: roll back.
+            pass_ok = (rows[:, 22] > 0) & (rows[:, 17] > 0)
+            implied = np.where(rows[:, 23] > 0, minimal, minimal + 1)
+            steady = pass_ok & (implied == lvl)
             if first_frame:
                 steady[0] = True  # frame 0 does not register
             if bool(steady.all()):
@@ -1038,11 +1112,13 @@ class Odometry:
                     summary = self._finish_streamed(
                         info, row, None, None, origin0, allow_rebase=False)
                     summary.number_of_attempts = 1
-                    summary.robust_level = minimal
+                    summary.robust_level = lvl
                     self.robust_num_consecutive_failures = 0
                     self.suspect_registration_error = False
-                    self.next_robust_level = minimal
+                    self.next_robust_level = lvl
                     yield summary
+                self.speculative_batches_committed[lvl] = \
+                    self.speculative_batches_committed.get(lvl, 0) + 1
                 # ANY frame of the batch past the rebase distance triggers
                 # the deferred rebase (the pre-speculation per-frame path
                 # rebased mid-batch; checking only the last frame would let
@@ -1063,7 +1139,7 @@ class Odometry:
             self.map_state, self._odo_state = p["ckpt"]
             for prep in group:
                 yield self.register_frame_prepared(prep)
-            speculative = self.next_robust_level <= 0
+            speculative = self.next_robust_level in spec_levels
             if speculative:
                 self._odo_state = self._odo_state_from_host()
             return "rolledback"
@@ -1089,15 +1165,15 @@ class Odometry:
         pending = None
         for upload in PrefetchIterator(groups(), depth=2,
                                        transform=stack_upload):
-            if self.next_robust_level > 0 or not speculative:
-                # escalated: drain this group per-frame until a clean frame
-                # resets the level (reference next_robust_level semantics).
-                # No batch is in flight here: pending goes non-None only
-                # when the loop stays speculative.
+            if self.next_robust_level not in spec_levels or not speculative:
+                # deeply escalated (a frame FAILED, next >= minimal+2):
+                # drain this group per-frame until the level returns to a
+                # speculation level. No batch is in flight here: pending
+                # goes non-None only when the loop stays speculative.
                 assert pending is None
                 for prep in upload[0]:
                     yield self.register_frame_prepared(prep)
-                speculative = self.next_robust_level <= 0
+                speculative = self.next_robust_level in spec_levels
                 if speculative:
                     self._odo_state = self._odo_state_from_host()
                 continue
@@ -1111,15 +1187,16 @@ class Odometry:
                     rebase_head()
                     cur = dispatch(cur["upload"])
                 elif status == "rolledback":
-                    if speculative and self.next_robust_level <= 0:
-                        # state restored + replayed clean: re-dispatch cur
+                    if speculative and self.next_robust_level in spec_levels:
+                        # state restored + replayed: re-dispatch cur at the
+                        # (possibly new) level
                         cur = dispatch(cur["upload"])
                     else:
                         # replay left the regimen escalated: drain cur's
                         # group per-frame
                         for prep in cur["group"]:
                             yield self.register_frame_prepared(prep)
-                        speculative = self.next_robust_level <= 0
+                        speculative = self.next_robust_level in spec_levels
                         if speculative:
                             self._odo_state = self._odo_state_from_host()
                         cur = None
@@ -1394,20 +1471,8 @@ class Odometry:
         def increase_level():
             nonlocal attempt_opts, sample_voxel_size, robust_level
             summary.frame = initial_estimate.copy()
-            attempt_opts = dataclasses.replace(
-                attempt_opts,
-                ls_max_num_iters=attempt_opts.ls_max_num_iters + 30,
-                max_num_residuals=(attempt_opts.max_num_residuals * 2
-                                   if attempt_opts.max_num_residuals > 0
-                                   else attempt_opts.max_num_residuals),
-                num_iters_icp=min(attempt_opts.num_iters_icp + 20, 50),
-                threshold_orientation_norm=max(
-                    attempt_opts.threshold_orientation_norm / 10, 1e-5),
-                threshold_translation_norm=max(
-                    attempt_opts.threshold_orientation_norm / 10, 1e-4),
-                ls_sigma=attempt_opts.ls_sigma * 1.2,
-                max_dist_to_plane_ct_icp=attempt_opts.max_dist_to_plane_ct_icp * 1.5)
-            sample_voxel_size = max(o.sample_voxel_size / 1.5, min_voxel_size)
+            attempt_opts, sample_voxel_size = _escalate_once(
+                attempt_opts, o.sample_voxel_size, min_voxel_size)
             robust_level += 1
 
         for _ in range(self.next_robust_level):
@@ -1554,20 +1619,8 @@ class Odometry:
         def increase_level():
             nonlocal attempt_opts, sample_voxel_size, robust_level
             summary.frame = initial_estimate.copy()
-            attempt_opts = dataclasses.replace(
-                attempt_opts,
-                ls_max_num_iters=attempt_opts.ls_max_num_iters + 30,
-                max_num_residuals=(attempt_opts.max_num_residuals * 2
-                                   if attempt_opts.max_num_residuals > 0
-                                   else attempt_opts.max_num_residuals),
-                num_iters_icp=min(attempt_opts.num_iters_icp + 20, 50),
-                threshold_orientation_norm=max(
-                    attempt_opts.threshold_orientation_norm / 10, 1e-5),
-                threshold_translation_norm=max(
-                    attempt_opts.threshold_orientation_norm / 10, 1e-4),
-                ls_sigma=attempt_opts.ls_sigma * 1.2,
-                max_dist_to_plane_ct_icp=attempt_opts.max_dist_to_plane_ct_icp * 1.5)
-            sample_voxel_size = max(o.sample_voxel_size / 1.5, min_voxel_size)
+            attempt_opts, sample_voxel_size = _escalate_once(
+                attempt_opts, o.sample_voxel_size, min_voxel_size)
             robust_level += 1
 
         for _ in range(self.next_robust_level):

@@ -360,3 +360,51 @@ def test_streaming_batch_size_invariance():
         assert a.end_pose.angular_distance(b.end_pose) < 1e-3
     for a, b in zip(t1, t8):
         assert a.end_pose.location_distance(b.end_pose) < 1e-5
+
+
+@pytest.mark.slow
+def test_robust_streaming_level1_speculation_parity():
+    """Sustained rotation above tightened robust thresholds keeps
+    next_robust_level at 1 (the low-inertia turn regime): the round-5
+    streamer must SPECULATE AT LEVEL 1 (batches dispatched with
+    once-escalated options) instead of draining every frame per-frame —
+    and end bit-close to the per-frame path's state."""
+    import dataclasses
+    acq = make_acquisition(seed=13)
+    n = 16
+    frames = [acq.frame(i) for i in range(n)]
+    # the circular walk turns ~3.6 deg/frame; thresholds at 2 degrees keep
+    # every post-startup frame's implied next level at 1 (rot NOT within)
+    import dataclasses as _dc
+    opts = _dc.replace(
+        small_options(robust_registration=True, robust_num_attempts=3,
+                      robust_threshold_relative_orientation=2.0,
+                      robust_threshold_ego_orientation=2.0),
+        init_num_frames=3)
+
+    odo_a = Odometry(opts)
+    for i, fr in enumerate(frames):
+        odo_a.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+    odo_b = Odometry(opts)
+    preps = (odo_b.prepare_frame(fr["xyz"], fr["timestamps"], i)
+             for i, fr in enumerate(frames))
+    summaries = list(odo_b.stream_frames(preps, batch=4))
+    assert len(summaries) == n
+    # the streamer actually speculated at level 1 (not per-frame drains)
+    assert odo_b.speculative_batches_committed.get(1, 0) >= 1, \
+        odo_b.speculative_batches_committed
+    assert odo_b.next_robust_level == odo_a.next_robust_level
+    ta, tb = odo_a.get_trajectory(), odo_b.get_trajectory()
+    # pose parity is SEMANTIC, not bitwise: a ~1e-5 float seed (measured,
+    # f32 program differences between the per-frame and scan-fused
+    # compilations) amplifies chaotically through one association-
+    # sensitive stretch (up to ~1 cm where a residual flips in/out of the
+    # cap) and RE-CONVERGES because the map anchors both estimates
+    # (measured 1.5e-6 at the final frame). Pin the shape: bounded
+    # transient + converged tail + exact semantic state.
+    ds = [fa.end_pose.location_distance(fb.end_pose)
+          for fa, fb in zip(ta, tb)]
+    assert max(ds) < 0.02, ds
+    assert ds[-1] < 1e-3, ds
+    assert odo_a.map_size() == odo_b.map_size()
+    assert all(s.robust_level in (0, 1) for s in summaries)
