@@ -123,12 +123,15 @@ ROBUST_APE_BOUND_M = 0.058
 # their persistent escalated level instead of draining them per-frame —
 # odometry._stream_frames_robust; was 8.0 fps = 2.08x before). The
 # remaining cost is genuine level-1 device compute: every turn frame
-# legitimately runs the escalated 50-iteration solve. Floor 1.5x keeps
-# headroom over level-transition rollback variance; the
-# faster-than-reference claim here is 2.6x, not the driving gate's 11x.
+# legitimately runs the escalated 50-iteration solve. Floor 2.0x
+# (ratcheted 1.5 -> 2.0 after two quiet-chip runs at 2.57x/2.59x) defends
+# the speculation gain — a regression to the pre-speculation per-frame
+# drain (2.08x) now fails the gate — while keeping ~22 % headroom for
+# level-transition rollback variance; the faster-than-reference claim
+# here is 2.6x, not the driving gate's 11x.
 INDOOR_TR_BOUND_PCT = 1.3
 INDOOR_APE_BOUND_M = 0.10
-INDOOR_FLOOR_X = 1.5
+INDOOR_FLOOR_X = 2.0
 INDOOR_SEEDS = (7, 8, 9)
 INDOOR_CONFIG = "configs/synthetic_indoor_walk.yaml"
 
@@ -851,12 +854,15 @@ def run_long(num_frames=None):
 # so the long gate's floor class applies. Measured 2026-08-22: 0.341 %Tr
 # at 45.7 fps (40 refinements over 320 frames; backend-off long gate ran
 # 58.6 fps the same hour — the ~4.8 ms/frame delta is the refine's
-# device work riding the queue). Floor 35: the accuracy bound is this
-# gate's primary pin; the precise throughput story lives in the
+# device work riding the queue). Floor 40 (ratcheted 35 -> 40 after
+# quiet-chip runs at 45.7/52.2/48.4 fps): the accuracy bound is this
+# gate's primary pin, but the floor must at least reject a relapse into
+# the round-4 synchronous refine (8.1 fps) or a pipeline stall that eats
+# a third of the rate; the precise throughput story lives in the
 # driving/robust/long gates, and a one-run A/B against the long gate is
 # the right tool for backend-cost regressions.
 BACKEND_TR_BOUND_PCT = 0.42
-BACKEND_FLOOR_FPS = 35.0
+BACKEND_FLOOR_FPS = 40.0
 BACKEND_FRAMES = 320
 BACKEND_SEED = 7
 
