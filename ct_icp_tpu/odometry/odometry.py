@@ -17,6 +17,7 @@ is position-independent — the trajectory itself stays float64 on host.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -225,6 +226,9 @@ class Odometry:
         # observability: steady speculative batches committed by the robust
         # streamer, by dispatched level (see _stream_frames_robust)
         self.speculative_batches_committed: Dict[int, int] = {}
+        # ... and mid-batch violations whose steady PREFIX was committed
+        # (one map-repair dispatch instead of a full per-frame replay)
+        self.speculative_prefix_commits: int = 0
         # retention of the last-N inserted frame clouds (reference
         # max_frames_to_keep, map.h:124,246-253) — export/replay surface
         self.frame_ring = FrameRing(self.map_options.max_frames_to_keep)
@@ -1040,8 +1044,6 @@ class Odometry:
         speculative = True
         self._odo_state = self._odo_state_from_host()
 
-        import copy as _copy
-
         def dispatch(upload):
             """Dispatch one batch AT the current next_robust_level; device
             state handles advance to the fork head immediately (results
@@ -1062,82 +1064,120 @@ class Odometry:
                     "packed": packed_all, "ckpt": ckpt}
 
         def resolve(p):
-            """Read one in-flight batch's rows; commit or rollback+replay.
+            """Read one in-flight batch's rows; commit the valid PREFIX,
+            then repair/replay the rest.
 
             Generator; its return value is one of
-              "ok"         — committed, fork head stays valid,
-              "rebase"     — committed, but the trajectory strayed past the
-                             rebase distance (the deferred rebase must be
-                             applied by the caller with no fork in flight),
-              "rolledback" — failed assessment: state restored to ``p``'s
-                             checkpoint and the batch replayed per-frame."""
+              "ok"          — whole batch committed, fork head stays valid,
+              "rebase"      — whole batch committed, trajectory strayed
+                              past the rebase distance (the deferred
+                              rebase must be applied by the caller with no
+                              fork in flight),
+              "levelchange" / "levelchange_rebase"
+                            — whole batch committed, but the LAST frame
+                              implied a robust-level transition: an
+                              in-flight fork ran at the stale level and
+                              must be re-dispatched from its checkpoint
+                              (plus the deferred rebase for the _rebase
+                              variant),
+              "rolledback"  — a frame failed assessment (or a mid-batch
+                              transition invalidated the suffix): the
+                              steady prefix was committed, the device map
+                              repaired to the post-prefix state, and the
+                              remaining frames replayed per-frame."""
             nonlocal speculative
             group = p["group"]
-            # The host snapshot is taken HERE, not at dispatch: all batches
-            # before ``p`` have been resolved by now, so the current host
-            # state is exactly the host image of ``p``'s device fork point
-            # (a dispatch-time snapshot would predate the previous batch's
-            # commits and a rollback would erase them). The origin cannot
-            # have moved since dispatch — rebases only happen with no fork
-            # in flight.
-            snap = (self.registered_frames, len(self.trajectory),
-                    self.origin.copy(),
-                    _copy.copy(self.insertion_tracker),
-                    self.next_robust_level,
-                    self.robust_num_consecutive_failures,
-                    self.suspect_registration_error)
             rows = np.asarray(p["packed"], dtype=np.float64)   # sync point
             first_frame = group[0]["info"].registered_fid == 0
             lvl = p["level"]
             # steady = "this frame implies staying at the dispatched
             # level": the per-frame path sets next_robust_level to minimal
             # when the rotation stayed within the robust thresholds and
-            # minimal+1 otherwise (reference odometry.cpp:890-901) — a
-            # frame whose implied next level differs from ``lvl`` means
-            # the frames after it ran at the wrong level: roll back.
+            # minimal+1 otherwise (reference odometry.cpp:890-901).
             pass_ok = (rows[:, 22] > 0) & (rows[:, 17] > 0)
             implied = np.where(rows[:, 23] > 0, minimal, minimal + 1)
-            steady = pass_ok & (implied == lvl)
             if first_frame:
-                steady[0] = True  # frame 0 does not register
-            if bool(steady.all()):
-                # one origin for the whole batch: the rows were computed in
-                # the dispatch-time map frame; the rebase is deferred to the
-                # caller (allow_rebase=False) so an in-flight later batch
-                # can be re-based consistently
-                origin0 = snap[2]
-                for prep, row in zip(group, rows):
-                    info = prep["info"]
-                    self.registered_frames = info.registered_fid + 1
-                    summary = self._finish_streamed(
-                        info, row, None, None, origin0, allow_rebase=False)
-                    summary.number_of_attempts = 1
-                    summary.robust_level = lvl
-                    self.robust_num_consecutive_failures = 0
-                    self.suspect_registration_error = False
-                    self.next_robust_level = lvl
-                    yield summary
+                pass_ok[0] = True      # frame 0 does not register
+                implied[0] = lvl
+            # Prefix commit: inside the scan, frame i depends only on
+            # frames < i — so every frame BEFORE the first violation ran
+            # exactly the program the per-frame path would have run, and
+            # is committable. A frame that PASSED but implies a level
+            # transition is itself committable (the per-frame path accepts
+            # it at ``lvl`` and only then switches); every frame after it
+            # ran at a stale level and is not.
+            commit_n, new_level = 0, None
+            for i in range(len(group)):
+                if not pass_ok[i]:
+                    break
+                commit_n = i + 1
+                if implied[i] != lvl:
+                    new_level = int(implied[i])
+                    break
+            if os.environ.get("CT_DEBUG_SPEC"):
+                print("RESOLVE fid0=%d lvl=%d pass=%s implied=%s commit_n=%d"
+                      % (group[0]["info"].registered_fid, lvl,
+                         pass_ok.astype(int), implied, commit_n))
+
+            # one origin for the committed frames: the rows were computed
+            # in the dispatch-time map frame; the rebase is deferred so an
+            # in-flight later batch can be re-based consistently
+            origin0 = self.origin.copy()
+            for prep, row in zip(group[:commit_n], rows[:commit_n]):
+                info = prep["info"]
+                self.registered_frames = info.registered_fid + 1
+                summary = self._finish_streamed(
+                    info, row, None, None, origin0, allow_rebase=False)
+                summary.number_of_attempts = 1
+                summary.robust_level = lvl
+                self.robust_num_consecutive_failures = 0
+                self.suspect_registration_error = False
+                self.next_robust_level = lvl
+                yield summary
+            if new_level is not None:
+                self.next_robust_level = new_level
+
+            if commit_n == len(group):
                 self.speculative_batches_committed[lvl] = \
                     self.speculative_batches_committed.get(lvl, 0) + 1
-                # ANY frame of the batch past the rebase distance triggers
+                # ANY committed frame past the rebase distance triggers
                 # the deferred rebase (the pre-speculation per-frame path
-                # rebased mid-batch; checking only the last frame would let
-                # a boundary-hugging trajectory erode the f32 headroom)
+                # rebased mid-batch; checking only the last frame would
+                # let a boundary-hugging trajectory erode the f32 headroom)
                 batch_tr = np.stack(
-                    [f.end_pose.tr for f in self.trajectory[-len(group):]])
-                if np.any(np.linalg.norm(batch_tr - self.origin, axis=1)
-                          > self.rebase_distance):
-                    return "rebase"
-                return "ok"
-            # rollback: restore the batch-start state and replay the whole
-            # batch through the per-frame escalation path
-            (self.registered_frames, traj_len, self.origin,
-             self.insertion_tracker, self.next_robust_level,
-             self.robust_num_consecutive_failures,
-             self.suspect_registration_error) = snap
-            del self.trajectory[traj_len:]
-            self.map_state, self._odo_state = p["ckpt"]
-            for prep in group:
+                    [f.end_pose.tr for f in self.trajectory[-commit_n:]])
+                strayed = bool(np.any(
+                    np.linalg.norm(batch_tr - self.origin, axis=1)
+                    > self.rebase_distance))
+                if new_level is not None:
+                    return "levelchange_rebase" if strayed else "levelchange"
+                return "rebase" if strayed else "ok"
+
+            # Mid-batch violation: repair the device map to the
+            # post-prefix state with ONE re-dispatch from the checkpoint
+            # in which the suffix frames are MAP-NEUTRAL — an impossible
+            # assessment bound (fs[8] = -1) forces assess_ok False, which
+            # blocks both the insert (add &= assess_ok) and the prune
+            # (cond on assess_ok) while the prefix re-runs bit-identically
+            # (same program, same inputs, same carries). The suffix's
+            # odo-state effect is discarded: the host rebuilds it from the
+            # trajectory when speculation resumes. Before round 5 the
+            # WHOLE batch replayed per-frame here — a tunnel round trip
+            # per frame — even when only the last frame transitioned.
+            if commit_n > 0:
+                self.speculative_prefix_commits += 1
+                _g, scans_dev, ns_dev, per_level = p["upload"]
+                dyns_dev, fss_dev = per_level[lvl]
+                fss_masked = fss_dev.at[commit_n:, 8].set(-1.0)
+                ck_map, ck_odo = p["ckpt"]
+                self.map_state, self._odo_state, _rows2, _ck2 = multi_step(
+                    ck_map, ck_odo, scans_dev, ns_dev, betas_dev,
+                    dyns_dev, fss_masked)
+            else:
+                self.map_state, self._odo_state = p["ckpt"]
+            # replay the remaining frames through the per-frame
+            # escalation path (it handles its own mid-drain rebases)
+            for prep in group[commit_n:]:
                 yield self.register_frame_prepared(prep)
             speculative = self.next_robust_level in spec_levels
             if speculative:
@@ -1180,11 +1220,14 @@ class Odometry:
             cur = dispatch(upload)
             if pending is not None:
                 status = yield from resolve(pending)
-                if status == "rebase":
-                    # pending committed; discard cur's fork by restoring its
-                    # checkpoint (= the post-pending state), rebase, redo
+                if status in ("rebase", "levelchange", "levelchange_rebase"):
+                    # pending committed, but cur's fork is stale (origin
+                    # moved and/or dispatched at the old robust level):
+                    # discard it by restoring its checkpoint (= the
+                    # post-pending state), fix up, redo
                     self.map_state, self._odo_state = cur["ckpt"]
-                    rebase_head()
+                    if status in ("rebase", "levelchange_rebase"):
+                        rebase_head()
                     cur = dispatch(cur["upload"])
                 elif status == "rolledback":
                     if speculative and self.next_robust_level in spec_levels:
@@ -1204,9 +1247,10 @@ class Odometry:
 
         if pending is not None:
             status = yield from resolve(pending)
-            if status == "rebase":
+            if status in ("rebase", "levelchange_rebase"):
                 # nothing in flight: the current handles are pending's
-                # committed outputs — rebase them directly
+                # committed outputs — rebase them directly (a plain
+                # levelchange needs nothing: no fork ran at the old level)
                 rebase_head()
 
         for prep in tail:

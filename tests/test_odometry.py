@@ -162,16 +162,39 @@ def test_robust_streaming_rebase_mid_batch():
 
     odo_a = Odometry(opts)
     odo_a.rebase_distance = 1.0
+    summaries_a = []
     for i, fr in enumerate(frames):
-        odo_a.register_frame(fr["xyz"], fr["timestamps"], frame_id=i)
+        summaries_a.append(
+            odo_a.register_frame(fr["xyz"], fr["timestamps"], frame_id=i))
     odo_b = Odometry(opts)
     odo_b.rebase_distance = 1.0
     preps = (odo_b.prepare_frame(fr["xyz"], fr["timestamps"], i)
              for i, fr in enumerate(frames))
     summaries = list(odo_b.stream_frames(preps, batch=4))
     assert all(s.success for s in summaries)
-    for fa, fb in zip(odo_a.get_trajectory(), odo_b.get_trajectory()):
-        assert fa.end_pose.location_distance(fb.end_pose) < 0.05
+    # attempts/levels are EXACT per-frame semantics (frame 0 excepted: the
+    # per-frame path reports 0 attempts for the non-registering bootstrap
+    # frame, streamed commits report 1 — pre-existing convention)
+    for s_a, s_b in zip(summaries_a[1:], summaries[1:]):
+        assert s_a.number_of_attempts == s_b.number_of_attempts
+        assert s_a.robust_level == s_b.robust_level
+    # Parity here is SEMANTIC, not bitwise: since the round-5 prefix
+    # commit, this run steadily commits a megastep batch (frames 4-7, a
+    # level transition on its last frame) that the older streamer replayed
+    # per-frame wholesale — so the measured ~1e-5 f32 program-difference
+    # seed between the scan-fused and per-frame compilations amplifies
+    # through one association-sensitive frame (0.10 m at frame 7, CPU)
+    # and re-converges against the shared map (0.03 m by the end). An
+    # ORIGIN bug — the property this test pins — shows up as a systematic
+    # meter-scale offset on every frame, far beyond these bounds.
+    traj_a, traj_b = odo_a.get_trajectory(), odo_b.get_trajectory()
+    for fa, fb in zip(traj_a, traj_b):
+        assert fa.end_pose.location_distance(fb.end_pose) < 0.25
+    assert traj_a[-1].end_pose.location_distance(traj_b[-1].end_pose) < 0.08
+    # the run actually exercised the new machinery: one steady commit at
+    # level 1 ending in a level transition, one mid-batch prefix commit
+    assert odo_b.speculative_batches_committed.get(1, 0) >= 1
+    assert odo_b.speculative_prefix_commits >= 1
 
 
 @pytest.mark.slow
